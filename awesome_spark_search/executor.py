@@ -1,0 +1,258 @@
+"""Query executor: AST -> composed DataFrame plan -> top-k.
+
+Spark-native rendition of the reference's QueryProcessor dispatch
+(ref: src/querying/QueryProcessor.java:139-169, 194-331):
+
+* keyword      -> postings filter (term-bucket pruned) + BM25 groupBy/agg
+* AND/OR/NOT   -> inner join / unionByName+distinct / left_anti on doc_id
+* phrase       -> chained doc_id joins with position-adjacency array algebra
+* prefix tok*  -> range filter on the sorted term column
+* LinkTo:ID    -> citation edge filter
+* spelling     -> Damerau-Levenshtein correction when a term has no postings
+* PRF #N       -> two-pass search, +10 most frequent tokens of top-N docs
+                  at weight 0.25
+
+Every plan stays declarative: term lookups prune partitions via term_bucket,
+keyword scoring never touches the positions column (columnar pruning = the
+reference's frequency/positional file split), small per-query tables are
+broadcast.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import queries as Q
+from . import scoring
+from .build import Index, term_bucket_col, DEFAULT_TERM_BUCKETS, _py_term_bucket
+from .spell import correct_term
+from .textproc import preprocess_query_terms, tokenize_text
+from .stopwords import STOPWORDS
+
+PRF_MOST_FREQUENT_TOKENS = 10  # ref: QueryProcessor.java:44-46
+
+
+class QueryExecutor:
+    def __init__(
+        self,
+        spark: SparkSession,
+        index: Index,
+        *,
+        citations: DataFrame | None = None,
+        source_df: DataFrame | None = None,
+        scorer: str = "bm25",
+        n_term_buckets: int = DEFAULT_TERM_BUCKETS,
+    ):
+        self.spark = spark
+        self.index = index
+        self.citations = citations
+        self.source_df = source_df
+        self.scorer = scorer
+        self.n_buckets = n_term_buckets
+
+    # ---- term access -----------------------------------------------------
+
+    def _tokenize_query(self, text: str) -> list[str]:
+        return preprocess_query_terms(text, do_stem=self.index.do_stem)
+
+    def _postings_for_terms(self, terms: list[str], *, with_positions: bool) -> DataFrame:
+        """Exact-term postings with partition pruning on term_bucket."""
+        buckets = sorted({_py_term_bucket(t, self.n_buckets) for t in terms})
+        cols = ["term", "doc_id", "tf"] + (["positions"] if with_positions else [])
+        return (
+            self.index.postings
+            .filter(F.col("term_bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+            .select(*cols)
+        )
+
+    def _postings_for_prefix(self, prefix: str) -> DataFrame:
+        """tok* -> all matching terms' postings (ref: QueryProcessor.java:382-385).
+        Range filter on the term column; Parquet min/max stats prune files
+        because postings are written sorted by term within partitions."""
+        return (
+            self.index.postings
+            .filter((F.col("term") >= prefix) & (F.col("term") < prefix + "￿"))
+            .filter(F.col("term").startswith(prefix))
+            .select("term", "doc_id", "tf")
+        )
+
+    def resolve_terms(
+        self, terms: list[str], dedupe: bool = True
+    ) -> tuple[list[str], list[str], dict[str, str]]:
+        """Split exact/prefix terms; spell-correct exact terms with no postings
+        (ref: QueryProcessor.java:397-417). Returns (exact, prefixes, corrections).
+        ``dedupe=False`` preserves order+multiplicity (phrase semantics)."""
+        exact, prefixes = [], []
+        for t in terms:
+            if t.endswith("*"):
+                prefixes.append(t[:-1])
+            else:
+                exact.append(t)
+        corrections: dict[str, str] = {}
+        if exact:
+            present = {
+                r["term"]
+                for r in self.index.term_stats.filter(F.col("term").isin(exact))
+                .select("term").collect()
+            }
+            for t in list(exact):
+                if t not in present:
+                    corrected = correct_term(t, self.index.term_stats)
+                    if corrected is not None:
+                        corrections[t] = corrected
+            exact = [corrections.get(t, t) for t in exact]
+        if dedupe:
+            seen = set()
+            exact = [t for t in exact if not (t in seen or seen.add(t))]
+        return exact, prefixes, corrections
+
+    # ---- leaf/composite doc-set + match plans ---------------------------
+
+    def _keyword_matches(self, kw: Q.Keyword) -> DataFrame:
+        exact, prefixes, _ = self.resolve_terms(kw.terms)
+        parts = []
+        if exact:
+            parts.append(self._postings_for_terms(exact, with_positions=False))
+        for p in prefixes:
+            parts.append(self._postings_for_prefix(p))
+        if not parts:
+            return self._empty_matches()
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def _phrase_matches(self, ph: Q.Phrase) -> DataFrame:
+        """Positional adjacency via array algebra (ref: QueryProcessor.java:
+        223-293): doc survives if for each consecutive term pair some
+        pos2 == pos1 + 1. Carries the running set of end-positions forward."""
+        terms, _, _ = self.resolve_terms(ph.terms, dedupe=False)
+        if not terms:
+            return self._empty_matches()
+        if len(terms) == 1:
+            return self._postings_for_terms(terms, with_positions=False)
+        base = (
+            self._postings_for_terms([terms[0]], with_positions=True)
+            .select("doc_id", F.col("positions").alias("_cur"))
+        )
+        for t in terms[1:]:
+            nxt = self._postings_for_terms([t], with_positions=True).select(
+                "doc_id", F.col("positions").alias("_next")
+            )
+            base = (
+                base.join(nxt, "doc_id")
+                .withColumn(
+                    "_cur",
+                    F.array_intersect(
+                        F.transform(F.col("_cur"), lambda x: x + 1), F.col("_next")
+                    ),
+                )
+                .filter(F.size("_cur") > 0)
+                .drop("_next")
+            )
+        phrase_docs = base.select("doc_id")
+        # score all phrase terms' postings restricted to surviving docs
+        return self._postings_for_terms(terms, with_positions=False).join(
+            phrase_docs, "doc_id", "left_semi"
+        )
+
+    def _doc_set(self, ast) -> DataFrame:
+        """Boolean algebra on doc_id sets (ref: UnrankedQueryResult.java:170-240)."""
+        if isinstance(ast, Q.Boolean):
+            left = self._doc_set(ast.left)
+            right = self._doc_set(ast.right)
+            if ast.op == "AND":
+                return left.join(right, "doc_id", "left_semi")
+            if ast.op == "OR":
+                return left.unionByName(right).distinct()
+            if ast.op == "NOT":
+                return left.join(right, "doc_id", "left_anti")
+            raise ValueError(ast.op)
+        if isinstance(ast, Q.LinkTo):
+            return self._linkto_docs(ast)
+        return self._matches(ast).select("doc_id").distinct()
+
+    def _linkto_docs(self, ast: Q.LinkTo) -> DataFrame:
+        if self.citations is None:
+            raise ValueError("LinkTo query requires a citations DataFrame")
+        return self.citations.filter(F.col("dst") == ast.doc_id).select(
+            F.col("src").alias("doc_id")
+        )
+
+    def _matches(self, ast) -> DataFrame:
+        if isinstance(ast, Q.Keyword):
+            return self._keyword_matches(ast)
+        if isinstance(ast, Q.Phrase):
+            return self._phrase_matches(ast)
+        if isinstance(ast, Q.Mixed):
+            return self._phrase_matches(ast.phrase).unionByName(
+                self._keyword_matches(ast.keyword)
+            )
+        raise ValueError(f"no matches plan for {type(ast)}")
+
+    def _empty_matches(self) -> DataFrame:
+        return self.spark.createDataFrame([], "term string, doc_id long, tf int")
+
+    # ---- ranking ---------------------------------------------------------
+
+    def _score(self, matches: DataFrame, weight_col: str | None = None) -> DataFrame:
+        st = self.index.stats
+        if self.scorer == "bm25":
+            return scoring.bm25_score(
+                matches, self.index.doc_map, self.index.term_stats,
+                n_docs=st.n_docs, avgdl=st.avgdl, weight_col=weight_col,
+            )
+        return scoring.ql_jm_score(
+            matches, self.index.doc_map, self.index.term_stats,
+            total_tokens=st.total_tokens, weight_col=weight_col,
+        )
+
+    def search(self, query: str, k: int = 10) -> DataFrame:
+        """Full pipeline. Returns (doc_id, score) for ranked query types,
+        (doc_id, score=NULL recency order) for Boolean/LinkTo
+        (ref: QueryProcessor.java:110-127)."""
+        pq = Q.parse(query, tokenize=self._tokenize_query)
+        if Q.is_unranked(pq.ast):
+            docs = self._doc_set(pq.ast)
+            return (
+                docs.withColumn("score", F.lit(None).cast("double"))
+                .orderBy(F.col("doc_id").desc())
+                .limit(k)
+            )
+        matches = self._matches(pq.ast)
+        scored = scoring.top_k(self._score(matches), k)
+        if pq.prf > 0:
+            prf_terms = self._prf_terms(pq, scored, pq.prf)
+            if prf_terms:
+                pq.prf_terms = prf_terms
+                base_terms = set(Q.collect_terms(pq.ast))
+                all_matches = matches.withColumn("weight", F.lit(1.0)).unionByName(
+                    self._postings_for_terms(prf_terms, with_positions=False)
+                    .withColumn("weight", F.lit(scoring.PRF_WEIGHT))
+                )
+                scored = scoring.top_k(self._score(all_matches, weight_col="weight"), k)
+        return scored
+
+    def _prf_terms(self, pq: Q.ParsedQuery, top: DataFrame, depth: int) -> list[str]:
+        """Pseudo-relevance feedback: most frequent new tokens of the top-N
+        docs' content (ref: QueryProcessor.java:427-466). Driver-side: N docs."""
+        if self.source_df is None:
+            return []
+        top_ids = [r["doc_id"] for r in top.limit(depth).collect()]
+        if not top_ids:
+            return []
+        rows = (
+            self.source_df.filter(F.col("doc_id").isin(top_ids))
+            .select("content").collect()
+        )
+        counter: Counter[str] = Counter()
+        for r in rows:
+            _, pairs = tokenize_text(r["content"], do_stem=self.index.do_stem)
+            counter.update(t for t, _ in pairs)
+        base = set(Q.collect_terms(pq.ast))
+        ranked = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [t for t, _ in ranked if t not in base][:PRF_MOST_FREQUENT_TOKENS]

@@ -1,0 +1,126 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The decode/feature kernels are STUBS (the container has no image/audio
+libraries — see ``_require_decoder``); everything Spark-side is real and
+tested: schemas, Arrow batch shapes, mapInPandas iterator contracts,
+partitioning. Swapping the stub for a real decoder (PIL/torchaudio/ffmpeg)
+changes only the inner function body.
+
+Scale: media bytes stay in a single binary column, processed by mapInPandas
+(streaming Arrow batches — bounded memory per task regardless of corpus
+size); metadata-only operations project away the binary column so Parquet
+never reads the payload (columnar pruning).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload_sha256", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+class DecoderUnavailable(NotImplementedError):
+    pass
+
+
+def _require_decoder(kind: str):
+    raise DecoderUnavailable(
+        f"no {kind} decoder in this environment — plug PIL/torchaudio/ffmpeg "
+        "into _decode_stub; the Spark pipeline around it is real and tested"
+    )
+
+
+def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
+    """Deterministic fake 'decode' so the pipeline is testable end-to-end:
+    derives FEATURE_DIM floats from the sha256 of the payload. Replace with a
+    real decoder in production (raises via _require_decoder there)."""
+    digest = hashlib.sha256(payload or b"").digest()
+    raw = np.frombuffer(digest[: FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32)
+    return raw / 65535.0
+
+
+def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """mapInPandas feature extraction: binary payload -> fixed-dim vector.
+    One Arrow batch in, one out; never materializes the whole partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, shas, sizes = [], [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                b = bytes(payload) if payload is not None else b""
+                shas.append(hashlib.sha256(b).hexdigest())
+                sizes.append(len(b))
+                feats.append(_decode_stub(b, kind).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload_sha256": shas,
+                    "n_bytes": sizes,
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Metadata-only projection — payload column pruned at the Parquet scan."""
+    return media.select(
+        "media_id", "kind", "mime", "width", "height", "duration_ms"
+    ).withColumn(
+        "aspect_ratio",
+        F.when(
+            (F.col("height").isNotNull()) & (F.col("height") > 0),
+            F.round(F.col("width") / F.col("height"), 4),
+        ),
+    )
+
+
+def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.integers(0, 256, size=64 + (i % 5) * 32, dtype=np.uint8).tobytes()
+        rows.append(
+            (
+                i,
+                kind,
+                f"application/x-{kind}",
+                bytearray(payload),
+                64 + i % 7 if kind != "audio" else None,
+                48 + i % 5 if kind != "audio" else None,
+                1000 * (i % 30) if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

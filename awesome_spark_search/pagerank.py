@@ -1,0 +1,93 @@
+"""Citation graph operators: edge inversion + PageRank as iterative DataFrame
+algebra.
+
+Reference: inverse citation index (ref: src/indexing/citations/
+CitationIndexConstructor.java:44-78) and power-iteration PageRank with
+damping 0.85, 45 fixed iterations, dangling + damping mass (1-d)/n
+(ref: src/querying/ranking/PageRankCalculator.java:23-28,53-82). The reference
+computes pagerank but never uses it in scoring (DocumentRanker.java:138-146) —
+the rebuild keeps that contract: pagerank is a stored doc_map column only.
+
+Scale: each iteration is one join edges⋈ranks + one groupBy(dst) — the
+canonical distributed PageRank. localCheckpoint() every few iterations cuts
+the lineage chain so the plan doesn't grow with iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+ITERATIONS = 45
+CHECKPOINT_EVERY = 5
+
+
+def invert_citations(out_links: DataFrame) -> DataFrame:
+    """(doc_id, out:array<long>) -> sorted distinct edge list (src, dst)."""
+    return (
+        out_links.select(F.col("doc_id").alias("src"), F.explode("out").alias("dst"))
+        .distinct()
+    )
+
+
+def citations_of(edges: DataFrame, target: int) -> DataFrame:
+    """Docs citing `target`, descending doc_id (recency ordering,
+    ref: QueryProcessor.java:314-319 + DocumentRanker.java:105-114)."""
+    return (
+        edges.filter(F.col("dst") == target)
+        .select(F.col("src").alias("doc_id"))
+        .orderBy(F.col("doc_id").desc())
+    )
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    n_docs: int,
+    *,
+    damping: float = DAMPING,
+    iterations: int = ITERATIONS,
+    doc_ids: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, pagerank). Column-stochastic power iteration matching the
+    reference: rank = (1-d)/n + d * (M @ rank + dangling_mass/n)."""
+    if doc_ids is None:
+        doc_ids = (
+            edges.select(F.col("src").alias("doc_id"))
+            .unionByName(edges.select(F.col("dst").alias("doc_id")))
+            .distinct()
+        )
+    doc_ids = doc_ids.persist()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    e = edges.join(out_deg, "src").persist()
+
+    ranks = doc_ids.withColumn("rank", F.lit(1.0 / n_docs))
+    base = (1.0 - damping) / n_docs
+    for it in range(iterations):
+        contrib = (
+            e.join(ranks, e.src == ranks.doc_id)
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling mass: rank held by nodes with no out-edges
+        dangling = (
+            ranks.join(out_deg, ranks.doc_id == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        ranks = (
+            doc_ids.join(contrib, doc_ids.doc_id == contrib.dst, "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n_docs))
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % CHECKPOINT_EVERY == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("doc_id", F.col("rank").alias("pagerank"))

@@ -1,0 +1,46 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local mode is a stand-in for a multi-executor cluster: every knob here is
+chosen so the same code runs unchanged under ``spark-submit --py-files`` on a
+real cluster (see jobs/).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "awesome_spark_search",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores=None`` keeps whatever master an existing session / spark-submit
+    provides; an explicit int forces ``local[cores]`` (used by the scaling
+    bench at two parallelism levels).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if cores is not None:
+        builder = builder.master(f"local[{cores}]")
+        if shuffle_partitions is None:
+            shuffle_partitions = max(cores, 8)
+    elif shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

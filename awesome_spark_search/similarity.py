@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; IVF (inverted-file) bucketed
+variant as the scale path — both pure DataFrame algebra (zip_with/aggregate
+run inside whole-stage codegen; no UDF in the distance kernel).
+
+Scale: brute force is a broadcast of the query vector + one narrow map + a
+TakeOrderedAndProject — linear scan, embarrassingly parallel. IVF prunes the
+scan to nprobe/nlist of the corpus: centroid assignment is a broadcast join
+against a tiny centroid table, the partition layout is by cluster id, and a
+query only reads its nprobe clusters (partition pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_col(a, b):
+    return (_dot(a, b) / (_norm(a) * _norm(b))).alias("cosine")
+
+
+def brute_force_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (vec_id, cosine), ties broken by vec_id ASC."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        F.col(id_col),
+        _dot(F.col(vec_col).cast("array<double>"), q).alias("_dot"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("_n"),
+    ).select(
+        id_col,
+        (F.col("_dot") / (F.col("_n") * F.lit(_py_norm(query_vec)))).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _py_norm(v: list[float]) -> float:
+    return sum(x * x for x in v) ** 0.5
+
+
+def assign_ivf_clusters(
+    emb: DataFrame, centroids: list[list[float]],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster) — nearest centroid by cosine. Centroids are a tiny
+    broadcast literal array; at scale this is the IVF build stage and the
+    output is written partitionBy(cluster)."""
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    v = F.col(vec_col).cast("array<double>")
+    sims = F.transform(cents, lambda c: _dot(v, c) / (_norm(v) * _norm(c)))
+    best = F.array_position(sims, F.array_max(sims)) - 1
+    return emb.select(F.col(id_col), best.cast("int").alias("cluster"))
+
+
+def ivf_topk(
+    emb: DataFrame, centroids: list[list[float]], query_vec: list[float],
+    k: int = 10, nprobe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: scan only the nprobe clusters nearest to the query."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    sims = (cents @ q) / (np.linalg.norm(cents, axis=1) * np.linalg.norm(q) + 1e-30)
+    probe = np.argsort(-sims)[:nprobe].tolist()
+    assigned = assign_ivf_clusters(emb, centroids, id_col, vec_col)
+    pruned = emb.join(
+        assigned.filter(F.col("cluster").isin(probe)).select(id_col), id_col, "left_semi"
+    )
+    return brute_force_topk(pruned, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= threshold).
+
+    With centroids given, pairs are only formed within a cluster (the IVF
+    blocking that keeps this sub-quadratic at scale); without, full self-join
+    (test scale only)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    if centroids is not None:
+        asg = assign_ivf_clusters(emb, centroids, id_col, vec_col)
+        a = a.join(asg.withColumnRenamed(id_col, "id_a"), "id_a")
+        b = b.join(asg.withColumnRenamed(id_col, "id_b").withColumnRenamed("cluster", "cluster_b"), "id_b")
+        pairs = a.join(b, (F.col("cluster") == F.col("cluster_b")) & (F.col("id_a") < F.col("id_b")))
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

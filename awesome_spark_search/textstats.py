@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure column expressions (whole-stage codegen; zero Python in the path) and
+all reproducible in ANSI SQL, so each ships with a DuckDB oracle entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language marker sets for the n-gram/stopword-ratio heuristic;
+# deterministic and embedded (shared constant with the oracle SQL)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "is", "to", "in"],
+    "es": ["el", "la", "de", "que", "los", "es"],
+    "fr": ["le", "la", "les", "des", "est", "une"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+}
+
+
+def _tokens(text_col):
+    return F.filter(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z-_]+', 0)"),
+        lambda t: F.length(t) >= 2,
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang): argmax over marker-hit counts; ties -> lang asc;
+    no hits -> 'und'."""
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, lambda t: t.isin(ws))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in sorted(LANG_MARKERS.items())
+    ]
+    # max_by over (hits DESC, lang ASC): array_max on struct compares fieldwise;
+    # negate nothing — pick via sort: highest hits, then lexicographically
+    # smallest lang among ties. Invert lang order by sorting desc on struct
+    # (hits, reversed lang) is messy; use filter+reduce instead:
+    arr = F.array(*scores)
+    best = F.aggregate(
+        arr,
+        F.struct(F.lit(-1).alias("hits"), F.lit("und").alias("lang")),
+        lambda acc, s: F.when(
+            (s["hits"] > acc["hits"]),
+            s,
+        ).otherwise(acc),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, stopword_ratio, mean_token_len, score).
+
+    score = heuristic in [0,1]: rewards mid-range length, presence of
+    stop words (natural-language-ness), sane mean token length.
+    """
+    toks = _tokens(text_col)
+    from .stopwords import STOPWORDS
+
+    stop_arr = sorted(STOPWORDS)
+    n_toks = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(stop_arr)))
+    mean_len = F.when(
+        n_toks > 0,
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n_toks,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_toks > 0, n_stop.cast("double") / n_toks).otherwise(F.lit(0.0))
+    length_term = F.least(F.length(F.col(text_col)).cast("double") / F.lit(500.0), F.lit(1.0))
+    len_term = F.when((mean_len >= 3) & (mean_len <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    raw_score = 0.4 * length_term + 0.3 * F.least(stop_ratio * 5, F.lit(1.0)) + 0.3 * len_term
+    # floor(x*1e6+0.5)/1e6 instead of round(): both engines compute x with
+    # identical IEEE ops, but their round() tie-breaking differs at exact
+    # half-way decimals — floor-based rounding is bit-deterministic
+    score = F.floor(raw_score * 1e6 + F.lit(0.5)) / F.lit(1e6)
+    return docs.select(
+        "doc_id",
+        F.length(F.col(text_col)).alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        score.alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, ws_tokens, bpe_ish_tokens, chars): whitespace split count and a
+    BPE-ish proxy (alnum runs + non-space punctuation marks counted singly)."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
+    alnum_runs = F.size(F.expr(f"regexp_extract_all({text_col}, '[A-Za-z0-9]+', 0)"))
+    punct = F.size(F.expr(f"regexp_extract_all({text_col}, '[^A-Za-z0-9\\\\s]', 0)"))
+    return docs.select(
+        "doc_id",
+        F.when(F.length(F.trim(F.col(text_col))) > 0, ws).otherwise(0).alias("ws_tokens"),
+        (alnum_runs + punct).alias("bpe_ish_tokens"),
+        F.length(F.col(text_col)).alias("chars"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp_norm, fp_prefix): md5 fingerprints of the normalized token
+    stream and of its first 16 tokens (cheap near-dup blocking key)."""
+    toks = _tokens(text_col)
+    joined = F.concat_ws(" ", toks)
+    prefix = F.concat_ws(" ", F.slice(toks, 1, 16))
+    return docs.select(
+        "doc_id",
+        F.md5(joined).alias("fp_norm"),
+        F.md5(prefix).alias("fp_prefix"),
+    )
