@@ -1,0 +1,115 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Runs the headline pipeline at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32):
+
+* full index build (tokenize -> postings -> term_stats -> packed VByte blobs
+  with block-max) over the documents table, reported as build_sec and
+  build_docs_per_sec,
+* one timed pass over the headline query/operator set (BM25 keyword, phrase,
+  boolean, prefix, block-max WAND on the packed index, MinHash-LSH dedup,
+  SimHash, embedding cosine top-k, language-ID, windowed events agg).
+
+Output: {"metric": ..., "value": total_sec, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": ..., ...extras}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(sf_dir: str, cpus: int, do_stem: bool = True) -> dict:
+    from pyspark.sql import functions as F
+
+    from awesome_spark_search import corpus, dedup, similarity, textstats
+    from awesome_spark_search.build import build_index
+    from awesome_spark_search.executor import QueryExecutor
+    from awesome_spark_search.session import get_spark
+    from awesome_spark_search.wand import wand_topk
+
+    spark = get_spark("bench", cores=cpus)
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    src = corpus.from_documents_table(spark, sf_dir)
+    n_docs = src.count()
+
+    def _build():
+        idx = build_index(spark, src, do_stem=do_stem, build_packed=True)
+        # force full materialization of every index table
+        idx.doc_map.count()
+        idx.postings.count()
+        idx.term_stats.count()
+        idx.packed.count()
+        return idx
+
+    idx = timed("index_build", _build)
+    ex = QueryExecutor(spark, idx, source_df=src)
+
+    timed("q_keyword_bm25", lambda: ex.search("merge batch table", k=10).collect())
+    timed("q_phrase", lambda: ex.search('"table value"', k=10).collect())
+    timed("q_bool_and", lambda: ex.search("merge AND batch", k=10).collect())
+    timed("q_prefix", lambda: ex.search("sc*", k=10).collect())
+
+    wand_terms = ex._tokenize_query("merge batch table")
+    timed("q_wand_topk", lambda: wand_topk(spark, idx, wand_terms, k=10).collect())
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    timed("q_lsh_pairs", lambda: dedup.lsh_candidate_pairs(docs).count())
+    timed("q_simhash", lambda: dedup.simhash(docs).count())
+
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    timed(
+        "q_cosine_topk",
+        lambda: similarity.brute_force_topk(emb, qvec, k=10).collect(),
+    )
+    timed("q_lang_id", lambda: textstats.lang_id(docs).count())
+    timed(
+        "q_events_window",
+        lambda: spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .count(),
+    )
+
+    total = round(sum(timings.values()), 4)
+    build_sec = timings["index_build"]
+    return {
+        "metric": "index_build_plus_headline_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "build_docs_per_sec": round(n_docs / build_sec, 2) if build_sec else None,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    result = run(sf_dir, cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""spark-submit entrypoint: run queries against a built index.
+
+Usage:
+    spark-submit --py-files awesome_spark_search.zip jobs/query.py \
+        --index /path/to/index_root --source /path/to/source_table \
+        [--k 10] [--scorer bm25|ql] [--wand] "query one" '"a phrase"' ...
+
+Prints one JSON line per query: {"query", "k", "wall_ms", "results":
+[{"doc_id", "score"}, ...]}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+from awesome_spark_search.build import Index, IndexStats
+from awesome_spark_search.executor import QueryExecutor
+from awesome_spark_search.wand import wand_topk
+
+
+def load_index(spark: SparkSession, root: str) -> Index:
+    stages = os.path.join(root, "stages")
+    doc_map = spark.read.parquet(os.path.join(stages, "doc_map"))
+    postings = spark.read.parquet(os.path.join(stages, "postings"))
+    term_stats = spark.read.parquet(os.path.join(stages, "term_stats"))
+    packed_dir = os.path.join(stages, "packed")
+    packed = spark.read.parquet(packed_dir) if os.path.isdir(packed_dir) else None
+    row = doc_map.selectExpr(
+        "count(1) as n", "coalesce(sum(doc_len),0) as t", "coalesce(avg(doc_len),0.0) as a"
+    ).collect()[0]
+    stats = IndexStats(n_docs=row["n"], total_tokens=row["t"], avgdl=float(row["a"]) or 1.0)
+    return Index(
+        doc_map=doc_map, postings=postings, term_stats=term_stats,
+        packed=packed, stats=stats,
+    )
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--source", default=None, help="source table (PRF/snippets)")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--scorer", choices=["bm25", "ql"], default="bm25")
+    ap.add_argument("--wand", action="store_true", help="block-max WAND path")
+    ap.add_argument("--no-stem", action="store_true")
+    ap.add_argument("queries", nargs="+")
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.appName("ass-query").getOrCreate()
+    idx = load_index(spark, args.index)
+    idx.do_stem = not args.no_stem
+    src = spark.read.parquet(args.source) if args.source else None
+    ex = QueryExecutor(spark, idx, source_df=src, scorer=args.scorer)
+
+    for q in args.queries:
+        t0 = time.perf_counter()
+        if args.wand:
+            terms = ex._tokenize_query(q)
+            rows = wand_topk(spark, idx, terms, k=args.k).collect()
+        else:
+            rows = ex.search(q, k=args.k).collect()
+        out = {
+            "query": q,
+            "k": args.k,
+            "wall_ms": round((time.perf_counter() - t0) * 1000, 1),
+            "results": [
+                {"doc_id": r["doc_id"], "score": r["score"]} for r in rows
+            ],
+        }
+        print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
