@@ -43,7 +43,7 @@ def _executor(spark: SparkSession, sf_dir: str) -> QueryExecutor:
     key = sf_dir.rstrip("/")
     if key not in _CACHE:
         src = _corpus.from_documents_table(spark, key).persist()
-        idx = build_index(spark, src, do_stem=False, build_packed=False)
+        idx = build_index(spark, src, do_stem=False, build_packed=True)
         _CACHE[key] = QueryExecutor(
             spark, idx, source_df=src, citations=_citation_edges(spark, key)
         )
@@ -205,6 +205,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
     q["spelling_corrected_search"] = lambda spark, sf: _search(spark, sf, "mrege")
+    # two-pass pseudo-relevance feedback (ref QueryProcessor.java:120-127);
+    # intentionally no SQL oracle (driver records rows-only)
+    q["prf_search"] = lambda spark, sf: _search(spark, sf, "merge batch #3")
+    q["wand_keyword"] = lambda spark, sf: (
+        (lambda ex: __import__("awesome_spark_search.wand", fromlist=["x"])
+         .wand_topk(spark, ex.index, ["merge", "batch", "table"], k=10)
+         .select("doc_id", F.round(F.col("score"), 4).alias("score")))(
+            _executor(spark, sf)
+        )
+    )
+    q["ql_jm_keyword"] = lambda spark, sf: (
+        (lambda ex: QueryExecutor(
+            spark, ex.index, source_df=ex.source_df, scorer="ql"
+        ).search("merge value", k=10)
+         .select("doc_id", F.round(F.col("score"), 4).alias("score")))(
+            _executor(spark, sf)
+        )
+    )
+    q["doc_metadata_topk"] = lambda spark, sf: (
+        (lambda ex: ex.search("merge batch table", k=10)
+         .join(ex.index.doc_map.select("doc_id", "repo", "path", "lang"), "doc_id")
+         .select("doc_id", "repo", "path", "lang"))(_executor(spark, sf))
+    )
+    q["packed_roundtrip_tf"] = lambda spark, sf: (
+        (lambda ex: __import__("awesome_spark_search.wand", fromlist=["x"])
+         .decode_postings(ex.index, "merge"))(_executor(spark, sf))
+    )
+    q["packed_roundtrip_positions"] = lambda spark, sf: (
+        (lambda ex: __import__("awesome_spark_search.wand", fromlist=["x"])
+         .decode_postings(ex.index, "merge", with_positions=True))(
+            _executor(spark, sf)
+        )
+    )
+    q["snippet_top5"] = lambda spark, sf: _snippet_top5(spark, sf)
+    q["ndcg_at_10"] = lambda spark, sf: _ndcg_entry(spark, sf)
     q["linkto"] = lambda spark, sf: (
         _pagerank.citations_of(_citation_edges(spark, sf), 42)
     )
@@ -218,7 +253,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # --- dedup family ---
-    q["exact_dedup"] = lambda spark, sf: _dedup.exact_duplicates(_docs(spark, sf))
+    # documents has no exact dups; dedup over documents UNION a doc_id-shifted
+    # copy so the operator's output is non-trivial (every content x2)
+    q["exact_dedup"] = lambda spark, sf: _dedup.exact_duplicates(
+        _docs_with_planted_dups(spark, sf)
+    )
     q["minhash_signatures"] = lambda spark, sf: (
         _dedup.minhash_signatures(_docs(spark, sf))
         .select("doc_id", F.concat_ws(",", "sig").alias("sig_csv"))
@@ -238,7 +277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("vec_id", F.round("cosine", 4).alias("cosine"))
     )
     q["embedding_near_dup"] = lambda spark, sf: (
-        _similarity.embedding_near_dup_pairs(_emb(spark, sf), threshold=0.95)
+        _similarity.embedding_near_dup_pairs(_emb(spark, sf), threshold=0.45)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )
     q["ivf_topk"] = lambda spark, sf: (
@@ -254,7 +293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_counts"] = lambda spark, sf: _textstats.token_counts(_docs(spark, sf))
     q["fingerprint"] = lambda spark, sf: _textstats.fingerprint(_docs(spark, sf))
 
-    # --- events (streaming-shaped batch op) ---
+    # --- events (streaming-shaped batch ops; same plans run under
+    # readStream + watermark, see awesome_spark_search/streaming.py) ---
     q["events_tumbling"] = lambda spark, sf: (
         spark.read.parquet(f"{sf}/events.parquet")
         .groupBy(
@@ -262,6 +302,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_type",
         )
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    q["events_sliding"] = lambda spark, sf: (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy(
+            F.date_format(
+                F.window("ts", "10 minutes", "5 minutes").start, "yyyy-MM-dd HH:mm:ss"
+            ).alias("w_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    q["events_user_totals"] = lambda spark, sf: (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
     )
 
     # --- multimodal plumbing (no SQL oracle: synthetic binary payloads) ---
@@ -274,6 +332,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     return q
+
+
+def _docs_with_planted_dups(spark, sf) -> DataFrame:
+    docs = _docs(spark, sf).select("doc_id", "text")
+    n = docs.count()
+    return docs.unionByName(
+        docs.select((F.col("doc_id") + F.lit(n)).alias("doc_id"), "text")
+    )
+
+
+def _snippet_top5(spark, sf) -> DataFrame:
+    from awesome_spark_search.snippets import generate_snippet
+
+    ex = _executor(spark, sf)
+    top = ex.search("merge batch", k=5).collect()
+    contents = {
+        r["doc_id"]: r["content"]
+        for r in ex.source_df.join(
+            spark.createDataFrame([(r["doc_id"],) for r in top], "doc_id long"),
+            "doc_id",
+        ).select("doc_id", "content").collect()
+    }
+    rows = [
+        (r["doc_id"], generate_snippet(contents.get(r["doc_id"], ""), ["merge", "batch"], do_stem=False))
+        for r in top
+    ]
+    return spark.createDataFrame(rows, "doc_id long, snippet string")
+
+
+def _ndcg_entry(spark, sf) -> DataFrame:
+    from awesome_spark_search.snippets import ndcg
+
+    ex = _executor(spark, sf)
+    results = [r["doc_id"] for r in ex.search("merge batch table", k=10).collect()]
+    gold = sorted(results)  # deterministic pseudo-gold: id-ascending ideal
+    return spark.createDataFrame(
+        [(round(ndcg(gold, results, 10), 6),)], "ndcg double"
+    )
 
 
 def _query_vec(spark, sf) -> list[float]:
@@ -383,6 +479,57 @@ ORDER BY damerau_levenshtein(term, 'mrege') ASC, cf DESC, term ASC
 LIMIT 1
 """
     o["spelling_corrected_search"] = _bm25_sql(_const_terms(["merge"]))
+    # WAND must be rank- AND score-identical to the exhaustive BM25 plan
+    o["wand_keyword"] = _bm25_sql(_const_terms(["merge", "batch", "table"]))
+    o["ql_jm_keyword"] = f"""
+WITH {_TOK_CTE},
+qt AS ({_const_terms(["merge", "value"])}),
+matched AS (
+  SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN qt USING (term)
+),
+scored AS (
+  SELECT m.doc_id,
+         sum(ln(0.8 * m.tf / greatest(dl.doc_len, 1)
+                + 0.2 * d.cf / s.total_tokens)) AS raw
+  FROM matched m
+  JOIN dfcf d USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY m.doc_id
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 10
+"""
+    o["packed_roundtrip_tf"] = f"""
+WITH {_TOK_CTE}
+SELECT doc_id, tf::INT AS tf FROM tf WHERE term = 'merge'
+"""
+    o["packed_roundtrip_positions"] = f"""
+WITH {_TOK_CTE}
+SELECT doc_id, (i - 1)::INT AS pos
+FROM toks, unnest(range(1, len(all_toks) + 1)) AS t(i)
+WHERE all_toks[i] = 'merge'
+"""
+    o["doc_metadata_topk"] = f"""
+WITH {_TOK_CTE},
+qt AS ({_const_terms(["merge", "batch", "table"])}),
+matched AS (
+  SELECT tf.doc_id, tf.term, tf.tf, qt.weight FROM tf JOIN qt USING (term)
+),
+scored AS (
+  SELECT m.doc_id,
+         sum(m.weight * ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
+             * m.tf / (m.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / s.avgdl))) AS raw
+  FROM matched m JOIN dfcf d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY m.doc_id
+),
+top AS (SELECT doc_id FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 10)
+SELECT t.doc_id,
+       'corpus/' || d.source AS repo,
+       'docs/doc_' || d.doc_id || '.txt' AS path,
+       d.lang
+FROM top t JOIN documents d USING (doc_id)
+"""
     o["linkto"] = """
 WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
 e AS (
@@ -395,9 +542,15 @@ SELECT src AS doc_id FROM e WHERE dst = 42 AND src != dst ORDER BY doc_id DESC
     # pagerank_top10: iterative — intentionally no SQL oracle (rows-only check)
 
     o["exact_dedup"] = """
+WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + n.n, text FROM documents, n
+)
 SELECT sha256(text) AS content_sha256, count(*)::BIGINT AS dup_count,
        min(doc_id) AS canonical_doc_id
-FROM documents GROUP BY 1 HAVING count(*) > 1
+FROM all_docs GROUP BY 1 HAVING count(*) > 1
 """
     shingle_cte = """
 dtoks AS (
@@ -501,7 +654,7 @@ ORDER BY {cos_expr} DESC, vec_id ASC LIMIT 10
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
 """
     o["ivf_topk"] = """
 WITH cents AS (
@@ -608,5 +761,23 @@ SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS w
        count(*)::BIGINT AS n,
        round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+    # sliding window (10 min, step 5): each event falls in exactly two windows
+    o["events_sliding"] = """
+WITH e AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS b, event_type, value FROM events
+),
+w AS (
+  SELECT b AS ws, event_type, value FROM e
+  UNION ALL
+  SELECT b - INTERVAL '5 minutes' AS ws, event_type, value FROM e
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+FROM w GROUP BY 1, 2
+"""
+    o["events_user_totals"] = """
+SELECT user_id, count(*)::BIGINT AS n_events, round(sum(value), 4) AS total_value
+FROM events GROUP BY user_id
 """
     return o

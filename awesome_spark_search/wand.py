@@ -148,6 +148,46 @@ def wand_topk(
     return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
+def decode_postings(index: Index, term: str, n_term_buckets: int = 64,
+                    with_positions: bool = False) -> DataFrame:
+    """Decode one term's packed blobs back to (doc_id, tf[, pos]) rows —
+    the external round-trip gate for the delta+VByte+position-stream codec
+    (ref semantics: src/postings/TokenPostings.java:201-243,
+    EagerPositionMap.java:128-171)."""
+    bucket = _py_term_bucket(term, n_term_buckets)
+    rows = index.packed.filter(
+        (F.col("term_bucket") == bucket) & (F.col("term") == term)
+    ).select("doc_ids_vb", "tfs_vb", "pos_vb")
+
+    if not with_positions:
+        def gen(batches):
+            for pdf in batches:
+                for _, r in pdf.iterrows():
+                    ids = codec.delta_vbyte_decode(bytes(r["doc_ids_vb"]))
+                    tfs = codec.vbyte_decode(bytes(r["tfs_vb"]))
+                    yield pd.DataFrame(
+                        {"doc_id": ids.astype(np.int64), "tf": tfs.astype(np.int32)}
+                    )
+
+        return rows.mapInPandas(gen, "doc_id long, tf int")
+
+    def gen_pos(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                ids = codec.delta_vbyte_decode(bytes(r["doc_ids_vb"]))
+                stream = codec.vbyte_decode(bytes(r["pos_vb"])).astype(np.int64)
+                out_ids, out_pos = [], []
+                i = 0
+                for d in ids:
+                    n = int(stream[i]); i += 1
+                    gaps = stream[i: i + n]; i += n
+                    out_pos.extend(np.cumsum(gaps).tolist())
+                    out_ids.extend([int(d)] * n)
+                yield pd.DataFrame({"doc_id": out_ids, "pos": out_pos})
+
+    return rows.mapInPandas(gen_pos, "doc_id long, pos int")
+
+
 def _infer_shard_size(index: Index) -> int:
     from .build import DEFAULT_DOC_SHARD_SIZE
 

@@ -1,0 +1,63 @@
+"""Physical-plan quality gates: the optimizations we rely on at 100 TB must
+be visible in the plan at any scale — partition pruning on term_bucket,
+Parquet filter pushdown, column pruning (positions never read for keyword
+queries), broadcast of per-query term stats."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from awesome_spark_search import corpus
+from awesome_spark_search.build import build_index
+from awesome_spark_search.executor import QueryExecutor
+
+
+@pytest.fixture(scope="module")
+def ckpt_index(spark, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("plan_idx"))
+    src = spark.createDataFrame(corpus.generate_pandas(120, seed=21))
+    return build_index(
+        spark, src, do_stem=True, checkpoint_dir=ckpt, build_packed=False
+    )
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_term_lookup_prunes_partitions_and_pushes_filters(spark, ckpt_index):
+    ex = QueryExecutor(spark, ckpt_index)
+    matches = ex._postings_for_terms(["buffer"], with_positions=False)
+    plan = _plan(matches)
+    # partition pruning: term_bucket is a partition column of the parquet
+    # stage output; the filter must appear as a partition filter, not a scan
+    assert "PartitionFilters" in plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "term_bucket" in m.group(1), plan[:2000]
+    # data filter pushed to the reader
+    pf = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pf and "term" in pf.group(1), plan[:2000]
+
+
+def test_keyword_plan_never_reads_positions(spark, ckpt_index):
+    ex = QueryExecutor(spark, ckpt_index)
+    matches = ex._postings_for_terms(["buffer", "merge"], with_positions=False)
+    plan = _plan(matches)
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    assert schemas and all("positions" not in s for s in schemas), schemas
+
+
+def test_phrase_plan_reads_positions(spark, ckpt_index):
+    ex = QueryExecutor(spark, ckpt_index)
+    matches = ex._postings_for_terms(["buffer"], with_positions=True)
+    plan = _plan(matches)
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    assert schemas and any("positions" in s for s in schemas), schemas
+
+
+def test_bm25_broadcasts_term_stats(spark, ckpt_index):
+    ex = QueryExecutor(spark, ckpt_index)
+    scored = ex.search("buffer merge scan", k=10)
+    plan = _plan(scored)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]

@@ -1,0 +1,182 @@
+"""Structured Streaming: incremental index ingestion equals the batch build;
+watermarked window agg matches batch; stateful operator carries state across
+micro-batches."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from awesome_spark_search import corpus
+from awesome_spark_search.streaming import (
+    IncrementalIndexer,
+    batch_postings,
+    running_user_totals,
+    tumbling_counts,
+)
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def doc_pdf():
+    return corpus.generate_pandas(N_DOCS, seed=7)
+
+
+def test_incremental_index_matches_batch(spark, tmp_path, doc_pdf):
+    src_dir = str(tmp_path / "docs_in")
+    delta_dir = str(tmp_path / "delta")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+
+    full = spark.createDataFrame(doc_pdf)
+    half1 = spark.createDataFrame(doc_pdf.iloc[: N_DOCS // 2])
+    half2 = spark.createDataFrame(doc_pdf.iloc[N_DOCS // 2:])
+
+    # batch 1 arrives, stream drains
+    half1.write.mode("append").parquet(src_dir)
+    stream = spark.readStream.schema(full.schema).parquet(src_dir)
+    ingest = IncrementalIndexer(spark, delta_dir, do_stem=True)
+    q = ingest.start(stream, ckpt)
+    q.awaitTermination(120)
+
+    # batch 2 arrives, a fresh availableNow run picks up only the new files
+    half2.write.mode("append").parquet(src_dir)
+    stream2 = spark.readStream.schema(full.schema).parquet(src_dir)
+    q2 = ingest.start(stream2, ckpt)
+    q2.awaitTermination(120)
+
+    got = (
+        ingest.merged_postings()
+        .select("term", "doc_id", "tf", "positions")
+        .sort("term", "doc_id")
+        .collect()
+    )
+    want = (
+        batch_postings(full, do_stem=True)
+        .select("term", "doc_id", "tf", "positions")
+        .sort("term", "doc_id")
+        .collect()
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
+
+    # doc lens complete and correct
+    lens = {r["doc_id"]: r["doc_len"] for r in ingest.doc_lens().collect()}
+    assert len(lens) == N_DOCS
+
+
+def test_merged_postings_idempotent_under_replay(spark, tmp_path, doc_pdf):
+    """Replaying the same batch (at-least-once delivery) must not change the
+    merged view."""
+    delta_dir = str(tmp_path / "delta2")
+    ingest = IncrementalIndexer(spark, delta_dir, do_stem=False)
+    df = spark.createDataFrame(doc_pdf.iloc[:30])
+    ingest.foreach_batch(df, 0)
+    once = ingest.merged_postings().count()
+    ingest.foreach_batch(df, 0)  # replay
+    twice = ingest.merged_postings().count()
+    assert once == twice
+
+
+def test_tumbling_counts_stream_matches_batch(spark, tmp_path):
+    import pandas as pd
+
+    ev = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:00:30", "2026-01-01 00:02:00",
+                 "2026-01-01 00:06:10", "2026-01-01 00:07:59",
+                 "2026-01-01 00:11:00"]
+            ),
+            "event_type": ["a", "b", "a", "a", "b"],
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    src_dir = str(tmp_path / "events_in")
+    spark.createDataFrame(ev).write.parquet(src_dir)
+    batch_out = {
+        (r["w_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in tumbling_counts(spark.read.parquet(src_dir)).collect()
+    }
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src_dir).schema
+    ).parquet(src_dir)
+    q = (
+        tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_out = {
+        (r["w_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("select * from tumbling_test").collect()
+    }
+    # append mode only emits windows closed by the watermark; every emitted
+    # window must match batch exactly
+    assert set(stream_out) <= set(batch_out)
+    for k, v in stream_out.items():
+        assert batch_out[k] == v
+
+
+def test_running_user_totals_state_across_batches(spark, tmp_path):
+    import pandas as pd
+
+    src_dir = str(tmp_path / "state_in")
+    os.makedirs(src_dir)
+    ckpt = str(tmp_path / "state_ckpt")
+    schema = "user_id long, value double"
+
+    out_dir = str(tmp_path / "state_out")
+
+    def _sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    def _drain():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src_dir).schema
+        ).parquet(src_dir)
+        q = (
+            running_user_totals(stream)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = pd.DataFrame({"user_id": [1, 1, 2], "value": [1.0, 2.0, 10.0]})
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src_dir)
+    _drain()
+
+    b2 = pd.DataFrame({"user_id": [1, 3], "value": [4.0, 7.0]})
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src_dir)
+    _drain()
+
+    latest = (
+        spark.read.parquet(out_dir)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy(F.col("batch_id").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    rows = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in latest.collect()
+    }
+    # user 1's state must include batch-1 events (2 events, 3.0) + batch 2
+    assert rows[1] == (3, 7.0)
+    assert rows[3] == (1, 7.0)

@@ -52,3 +52,20 @@ def test_query_preprocess():
 def test_empty_and_none():
     assert tokenize_text("", do_stem=True) == (0, [])
     assert tokenize_text(None, do_stem=True) == (0, [])
+
+
+def test_jvm_doc_len_matches_python(spark):
+    """doc_len computed JVM-side (doc_len_col) must equal the Python
+    tokenizer's stopword-inclusive count for every doc."""
+    from awesome_spark_search import corpus
+    from awesome_spark_search.textproc import doc_len_col, tokenize_text
+
+    pdf = corpus.generate_pandas(80, seed=13)
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["doc_id"]: r["dl"]
+        for r in df.select("doc_id", doc_len_col("content").alias("dl")).collect()
+    }
+    for _, row in pdf.iterrows():
+        n, _ = tokenize_text(row["content"], do_stem=False)
+        assert got[row["doc_id"]] == n, row["doc_id"]
