@@ -330,6 +330,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             __import__("awesome_spark_search.multimodal", fromlist=["x"]).synth_media(spark, 64)
         )
     )
+    q["media_resize"] = lambda spark, sf: (
+        (lambda mm: mm.resize_images(mm.synth_media(spark, 64), 16, 16)
+         .select("media_id", "width", "height", "payload_sha256"))(
+            __import__("awesome_spark_search.multimodal", fromlist=["x"])
+        )
+    )
+    q["media_frame_sample"] = lambda spark, sf: (
+        (lambda mm: mm.sample_frames(mm.synth_media(spark, 64))
+         .select("media_id", "frame_idx", "ts_ms"))(
+            __import__("awesome_spark_search.multimodal", fromlist=["x"])
+        )
+    )
 
     return q
 

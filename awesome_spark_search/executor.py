@@ -52,6 +52,8 @@ class QueryExecutor:
         self.source_df = source_df
         self.scorer = scorer
         self.n_buckets = n_term_buckets
+        self._corrections: dict[str, str] = {}
+        self._query_terms: list[str] = []
 
     # ---- term access -----------------------------------------------------
 
@@ -83,32 +85,41 @@ class QueryExecutor:
     def resolve_terms(
         self, terms: list[str], dedupe: bool = True
     ) -> tuple[list[str], list[str], dict[str, str]]:
-        """Split exact/prefix terms; spell-correct exact terms with no postings
-        (ref: QueryProcessor.java:397-417). Returns (exact, prefixes, corrections).
+        """Split exact/prefix terms, applying the active correction map
+        (ref: QueryProcessor.java:397-417 corrects tokens with no postings;
+        here corrections are discovered lazily by ``search``'s empty-result
+        retry so the happy path never pays an extra dictionary lookup).
+        Returns (exact, prefixes, corrections_applied).
         ``dedupe=False`` preserves order+multiplicity (phrase semantics)."""
         exact, prefixes = [], []
         for t in terms:
             if t.endswith("*"):
                 prefixes.append(t[:-1])
             else:
-                exact.append(t)
-        corrections: dict[str, str] = {}
-        if exact:
-            present = {
-                r["term"]
-                for r in self.index.term_stats.filter(F.col("term").isin(exact))
-                .select("term").collect()
-            }
-            for t in list(exact):
-                if t not in present:
-                    corrected = correct_term(t, self.index.term_stats)
-                    if corrected is not None:
-                        corrections[t] = corrected
-            exact = [corrections.get(t, t) for t in exact]
+                exact.append(self._corrections.get(t, t))
         if dedupe:
             seen = set()
             exact = [t for t in exact if not (t in seen or seen.add(t))]
-        return exact, prefixes, corrections
+        return exact, prefixes, dict(self._corrections)
+
+    def _find_corrections(self, terms: list[str]) -> dict[str, str]:
+        """For exact terms absent from the dictionary, find the best
+        Damerau-Levenshtein correction (ref: SpellingCorrector.java:38-48)."""
+        exact = sorted({t for t in terms if not t.endswith("*")})
+        if not exact:
+            return {}
+        present = {
+            r["term"]
+            for r in self.index.term_stats.filter(F.col("term").isin(exact))
+            .select("term").collect()
+        }
+        out: dict[str, str] = {}
+        for t in exact:
+            if t not in present:
+                corrected = correct_term(t, self.index.term_stats)
+                if corrected is not None:
+                    out[t] = corrected
+        return out
 
     # ---- leaf/composite doc-set + match plans ---------------------------
 
@@ -199,50 +210,102 @@ class QueryExecutor:
 
     # ---- ranking ---------------------------------------------------------
 
-    def _score(self, matches: DataFrame, weight_col: str | None = None) -> DataFrame:
+    def _term_pred(self, extra_terms: list[str] | None = None):
+        """Predicate restricting the broadcast term-stats side to this
+        query's terms (exact + corrected + prefix ranges + PRF extras)."""
+        terms = set(self._query_terms or [])
+        terms |= {self._corrections.get(t, t) for t in terms}
+        terms |= set(extra_terms or [])
+        exact = sorted(t for t in terms if not t.endswith("*"))
+        prefixes = sorted(t[:-1] for t in terms if t.endswith("*"))
+        pred = None
+        if exact:
+            pred = F.col("term").isin(exact)
+        for p in prefixes:
+            cond = (F.col("term") >= p) & (F.col("term") < p + "￿")
+            pred = cond if pred is None else (pred | cond)
+        return pred
+
+    def _score(
+        self,
+        matches: DataFrame,
+        weight_col: str | None = None,
+        extra_terms: list[str] | None = None,
+    ) -> DataFrame:
         st = self.index.stats
+        pred = self._term_pred(extra_terms)
         if self.scorer == "bm25":
             return scoring.bm25_score(
                 matches, self.index.doc_map, self.index.term_stats,
                 n_docs=st.n_docs, avgdl=st.avgdl, weight_col=weight_col,
+                term_pred=pred,
             )
         return scoring.ql_jm_score(
             matches, self.index.doc_map, self.index.term_stats,
             total_tokens=st.total_tokens, weight_col=weight_col,
+            term_pred=pred,
+        )
+
+    RESULT_SCHEMA = "doc_id long, score double"
+
+    def _localize(self, rows) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(r["doc_id"], r["score"]) for r in rows], self.RESULT_SCHEMA
         )
 
     def search(self, query: str, k: int = 10) -> DataFrame:
         """Full pipeline. Returns (doc_id, score) for ranked query types,
         (doc_id, score=NULL recency order) for Boolean/LinkTo
-        (ref: QueryProcessor.java:110-127)."""
+        (ref: QueryProcessor.java:110-127).
+
+        One Spark action on the happy path; an empty result triggers the
+        spelling-correction retry (ref: QueryProcessor.java:397-417). The
+        returned DataFrame is localized (k rows)."""
         pq = Q.parse(query, tokenize=self._tokenize_query)
+        self._corrections = {}
+        self._query_terms = Q.collect_terms(pq.ast)
+        rows = self._run_once(pq, k)
+        if not rows and self._query_terms:
+            corrections = self._find_corrections(self._query_terms)
+            if corrections:
+                self._corrections = corrections
+                rows = self._run_once(pq, k)
+        return self._localize(rows)
+
+    def _run_once(self, pq: Q.ParsedQuery, k: int) -> list:
         if Q.is_unranked(pq.ast):
             docs = self._doc_set(pq.ast)
             return (
                 docs.withColumn("score", F.lit(None).cast("double"))
                 .orderBy(F.col("doc_id").desc())
                 .limit(k)
+                .collect()
             )
         matches = self._matches(pq.ast)
         scored = scoring.top_k(self._score(matches), k)
         if pq.prf > 0:
-            prf_terms = self._prf_terms(pq, scored, pq.prf)
+            top = scored.collect()
+            prf_terms = self._prf_terms(pq, top, pq.prf)
             if prf_terms:
                 pq.prf_terms = prf_terms
-                base_terms = set(Q.collect_terms(pq.ast))
                 all_matches = matches.withColumn("weight", F.lit(1.0)).unionByName(
                     self._postings_for_terms(prf_terms, with_positions=False)
                     .withColumn("weight", F.lit(scoring.PRF_WEIGHT))
                 )
-                scored = scoring.top_k(self._score(all_matches, weight_col="weight"), k)
-        return scored
+                scored = scoring.top_k(
+                    self._score(all_matches, weight_col="weight", extra_terms=prf_terms),
+                    k,
+                )
+            else:
+                return top
+        return scored.collect()
 
-    def _prf_terms(self, pq: Q.ParsedQuery, top: DataFrame, depth: int) -> list[str]:
+    def _prf_terms(self, pq: Q.ParsedQuery, top_rows: list, depth: int) -> list[str]:
         """Pseudo-relevance feedback: most frequent new tokens of the top-N
         docs' content (ref: QueryProcessor.java:427-466). Driver-side: N docs."""
         if self.source_df is None:
             return []
-        top_ids = [r["doc_id"] for r in top.limit(depth).collect()]
+        top_ids = [r["doc_id"] for r in top_rows[:depth]]
         if not top_ids:
             return []
         rows = (

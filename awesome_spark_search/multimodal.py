@@ -91,6 +91,103 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("payload_sha256", T.StringType(), False),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("frame_payload", T.BinaryType(), False),
+    ]
+)
+
+
+def _resize_stub(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic fake resize: derives w*h bytes from a rolling sha256 of
+    the payload. Replace with PIL `Image.resize` in production
+    (raises via _require_decoder there)."""
+    out = bytearray()
+    seed = hashlib.sha256(payload or b"").digest()
+    block = seed
+    while len(out) < w * h:
+        block = hashlib.sha256(block).digest()
+        out.extend(block)
+    return bytes(out[: w * h])
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """mapInPandas image resize: only `kind == 'image'` rows are processed;
+    the filter happens BEFORE the Python boundary so audio/video payload
+    bytes never cross into Arrow."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _resize_stub(bytes(p) if p is not None else b"", width, height)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": payloads,
+                    "payload_sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 5000,
+                  max_frames: int = 8) -> DataFrame:
+    """mapInPandas video frame sampling: one output row per sampled frame.
+    Frame timestamps step by ``every_ms`` up to duration; the fake frame
+    payload is sha256(payload || ts) — deterministic and schema-faithful.
+    Replace the inner derivation with an ffmpeg seek+decode in production."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for media_id, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                dur = int(dur) if pd.notna(dur) else 0
+                n = min(max_frames, max(1, dur // every_ms + 1))
+                for i in range(n):
+                    ts = i * every_ms
+                    ids.append(media_id)
+                    idxs.append(i)
+                    tss.append(ts)
+                    frames.append(
+                        hashlib.sha256(b + ts.to_bytes(8, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame_payload": frames,
+                }
+            )
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "payload", "duration_ms"
+    ).mapInPandas(run, FRAME_SCHEMA)
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Metadata-only projection — payload column pruned at the Parquet scan."""
     return media.select(

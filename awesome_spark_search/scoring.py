@@ -38,14 +38,19 @@ def bm25_score(
     n_docs: int,
     avgdl: float,
     weight_col: str | None = None,
+    term_pred=None,
 ) -> DataFrame:
     """matches(doc_id, term, tf[, weight]) -> (doc_id, score).
 
-    term_stats is tiny relative to the corpus (vocabulary-sized) and arrives
-    pre-filtered to the query's terms (a handful of rows) -> broadcast join.
-    doc_map join is doc_id-equi; at scale it is the one shuffle of the query.
+    ``term_pred`` restricts the broadcast side to the query's terms BEFORE the
+    exchange — broadcasting the full dictionary would be fatal at a 100M-term
+    vocabulary. doc_map join is doc_id-equi; at scale it is the one shuffle
+    of the query.
     """
-    ts = F.broadcast(term_stats.select("term", "df"))
+    ts = term_stats.select("term", "df")
+    if term_pred is not None:
+        ts = ts.filter(term_pred)
+    ts = F.broadcast(ts)
     j = (
         matches.join(ts, "term")
         .join(doc_map.select("doc_id", "doc_len"), "doc_id")
@@ -68,9 +73,13 @@ def ql_jm_score(
     total_tokens: int,
     weight_col: str | None = None,
     lam: float = JM_LAMBDA,
+    term_pred=None,
 ) -> DataFrame:
     """Query-likelihood / Jelinek-Mercer (reference scorer)."""
-    ts = F.broadcast(term_stats.select("term", "cf"))
+    ts = term_stats.select("term", "cf")
+    if term_pred is not None:
+        ts = ts.filter(term_pred)
+    ts = F.broadcast(ts)
     j = (
         matches.join(ts, "term")
         .join(doc_map.select("doc_id", "doc_len"), "doc_id")

@@ -57,7 +57,15 @@ def test_phrase_plan_reads_positions(spark, ckpt_index):
 
 
 def test_bm25_broadcasts_term_stats(spark, ckpt_index):
+    from awesome_spark_search import queries as Q
+    from awesome_spark_search import scoring
+
     ex = QueryExecutor(spark, ckpt_index)
-    scored = ex.search("buffer merge scan", k=10)
+    pq = Q.parse("buffer merge scan", tokenize=ex._tokenize_query)
+    ex._corrections, ex._query_terms = {}, Q.collect_terms(pq.ast)
+    scored = scoring.top_k(ex._score(ex._matches(pq.ast)), 10)
     plan = _plan(scored)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+    # the broadcast side must be filtered to the query's terms, not the
+    # whole dictionary (fatal at a 100M-term vocabulary)
+    assert re.search(r"term#\d+ IN \(buffer,merg,scan\)|term.* IN ", plan), plan[:3000]
