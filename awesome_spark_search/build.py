@@ -220,7 +220,10 @@ def build_index(
             source_df.select("doc_id", "content"), do_stem=do_stem
         ).withColumn("term_bucket", term_bucket_col(F.col("term"), n_term_buckets))
 
-    postings = runner.run("postings", _postings, partition_by=["term_bucket"])
+    postings = runner.run(
+        "postings", _postings,
+        partition_by=["term_bucket"], sort_within=["term", "doc_id"],
+    )
     if cache and checkpoint_dir is None:
         postings = postings.persist()
 
@@ -250,7 +253,10 @@ def build_index(
             .withColumn("term_bucket", term_bucket_col(F.col("term"), n_term_buckets))
         )
 
-    term_stats = runner.run("term_stats", _term_stats, partition_by=["term_bucket"])
+    term_stats = runner.run(
+        "term_stats", _term_stats,
+        partition_by=["term_bucket"], sort_within=["term"],
+    )
 
     def _stats_df():
         return doc_map.agg(
@@ -286,7 +292,10 @@ def build_index(
                 )
             )
 
-        packed = runner.run("packed", _packed, partition_by=["term_bucket"])
+        packed = runner.run(
+            "packed", _packed,
+            partition_by=["term_bucket"], sort_within=["term", "doc_shard"],
+        )
 
     if cache and checkpoint_dir is None:
         doc_map = doc_map.persist()

@@ -51,12 +51,16 @@ class StageRunner:
         name: str,
         build: Callable[[], DataFrame],
         partition_by: list[str] | None = None,
+        sort_within: list[str] | None = None,
     ) -> DataFrame:
         """Execute (or resume) one stage.
 
         Without a checkpoint dir the stage stays a lazy DataFrame (test mode).
         With one, the stage materializes to Parquet exactly once; per-partition
-        row counts are recorded as lineage.
+        row counts are recorded as lineage. ``sort_within`` clusters rows
+        inside the written files (after co-locating partition_by values) so
+        Parquet row-group min/max statistics prune point/range lookups — the
+        role of the reference's seek list (GenericSeekList.java:51-71).
         """
         if self.dir is None:
             return build()
@@ -65,6 +69,10 @@ class StageRunner:
             return self.spark.read.parquet(out)
         t0 = time.time()
         df = build()
+        if sort_within:
+            if partition_by:
+                df = df.repartition(*[F.col(c) for c in partition_by])
+            df = df.sortWithinPartitions(*sort_within)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
