@@ -287,6 +287,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("vec_id", F.round("cosine", 4).alias("cosine"))
     )
 
+    # --- deterministic sampling (training-data pipeline ops) ---
+    q["train_test_split"] = lambda spark, sf: (
+        (lambda s: s.train_test_split(_docs(spark, sf), test_frac=0.1)
+         .select("doc_id", "split"))(
+            __import__("awesome_spark_search.sampling", fromlist=["x"])
+        )
+    )
+    q["stratified_sample"] = lambda spark, sf: (
+        (lambda s: s.stratified_sample(
+            _docs(spark, sf), "lang", {"en": 0.5, "es": 1.0}, default_frac=0.25
+        ).select("doc_id", "lang"))(
+            __import__("awesome_spark_search.sampling", fromlist=["x"])
+        )
+    )
+
     # --- text analysis ---
     q["lang_id"] = lambda spark, sf: _textstats.lang_id(_docs(spark, sf))
     q["quality_score"] = lambda spark, sf: _textstats.quality_score(_docs(spark, sf))
@@ -312,6 +327,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_type",
         )
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    q["events_session"] = lambda spark, sf: (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+            "user_id", "n", "sum_value",
+        )
     )
     q["events_user_totals"] = lambda spark, sf: (
         spark.read.parquet(f"{sf}/events.parquet")
@@ -791,5 +815,37 @@ FROM w GROUP BY 1, 2
     o["events_user_totals"] = """
 SELECT user_id, count(*)::BIGINT AS n_events, round(sum(value), 4) AS total_value
 FROM events GROUP BY user_id
+"""
+    # session windows (gap = 10 min): classic gaps-and-islands
+    o["events_session"] = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev IS NULL
+                  OR ts - prev > INTERVAL '10 minutes' THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+islands AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start, user_id,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+FROM islands GROUP BY user_id, sid
+"""
+    o["train_test_split"] = """
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5(doc_id::varchar), 1, 8))::BIGINT % 10000 < 1000
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""
+    o["stratified_sample"] = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(doc_id::varchar), 1, 8))::BIGINT % 10000 <
+      CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 10000 ELSE 2500 END
 """
     return o
