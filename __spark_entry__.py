@@ -42,7 +42,7 @@ _CACHE: dict[str, QueryExecutor] = {}
 def _executor(spark: SparkSession, sf_dir: str) -> QueryExecutor:
     key = sf_dir.rstrip("/")
     if key not in _CACHE:
-        src = _corpus.from_documents_table(spark, key).persist()
+        src = _corpus.from_documents_table(spark, key).repartition(32, "doc_id").persist()
         idx = build_index(spark, src, do_stem=False, build_packed=True)
         _CACHE[key] = QueryExecutor(
             spark, idx, source_df=src, citations=_citation_edges(spark, key)

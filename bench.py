@@ -42,7 +42,11 @@ def run(sf_dir: str, cpus: int, do_stem: bool = True) -> dict:
         timings[name] = round(time.perf_counter() - t0, 4)
         return out
 
-    src = corpus.from_documents_table(spark, sf_dir)
+    # the documents table is one small parquet file -> one input split;
+    # spread it like a real multi-file corpus so the build uses every core
+    src = corpus.from_documents_table(spark, sf_dir).repartition(
+        max(cpus * 2, 8), "doc_id"
+    ).persist()
     n_docs = src.count()
 
     def _build():
