@@ -98,7 +98,32 @@ def run(sf_dir: str, cpus: int, do_stem: bool = True) -> dict:
         .count(),
     )
 
-    total = round(sum(timings.values()), 4)
+    # at-scale build throughput: the sf documents table is small enough that
+    # fixed per-job costs dominate; a larger seeded corpus (cached in /tmp)
+    # shows the engine's amortized docs/sec
+    big_n = int(os.environ.get("SPARK_GRAFT_BIG_N", "50000"))
+    big_docs_per_sec = None
+    if big_n > 0:
+        cache = f"/tmp/ass_bench_corpus_{big_n}.parquet"
+        if not os.path.exists(cache):
+            corpus.generate_pandas(big_n, seed=42).to_parquet(
+                cache, index=False, row_group_size=5000
+            )
+        big_src = spark.read.parquet(cache).repartition(max(cpus * 2, 8), "doc_id").persist()
+        big_src.count()
+
+        def _build_big():
+            bidx = build_index(
+                spark, big_src, do_stem=True, build_packed=True, doc_shard_size=4096
+            )
+            bidx.doc_map.count(); bidx.postings.count()
+            bidx.term_stats.count(); bidx.packed.count()
+
+        timed("index_build_50k", _build_big)
+        big_docs_per_sec = round(big_n / timings["index_build_50k"], 2)
+
+    # headline value excludes the supplementary at-scale build
+    total = round(sum(v for k, v in timings.items() if k != "index_build_50k"), 4)
     build_sec = timings["index_build"]
     return {
         "metric": "index_build_plus_headline_queries",
@@ -109,6 +134,8 @@ def run(sf_dir: str, cpus: int, do_stem: bool = True) -> dict:
         "cpus": cpus,
         "n_docs": n_docs,
         "build_docs_per_sec": round(n_docs / build_sec, 2) if build_sec else None,
+        "big_corpus_n_docs": big_n,
+        "big_corpus_build_docs_per_sec": big_docs_per_sec,
     }
 
 
