@@ -54,6 +54,9 @@ class QueryExecutor:
         self.n_buckets = n_term_buckets
         self._corrections: dict[str, str] = {}
         self._query_terms: list[str] = []
+        # driver-side vocabulary for O(1) existence checks (None = too big)
+        self._vocab: frozenset[str] | None = None
+        self._vocab_checked = False
 
     # ---- term access -----------------------------------------------------
 
@@ -102,17 +105,38 @@ class QueryExecutor:
             exact = [t for t in exact if not (t in seen or seen.add(t))]
         return exact, prefixes, dict(self._corrections)
 
+    VOCAB_CACHE_MAX = 1_000_000  # driver-side dictionary cutoff (~60MB)
+
+    def _get_vocab(self) -> frozenset[str] | None:
+        """Driver-cached term dictionary when it is small enough; the
+        existence check then costs zero Spark actions per query. For huge
+        vocabularies (10^8-term code corpora) this returns None and
+        correction falls back to the empty-result retry."""
+        if not self._vocab_checked:
+            self._vocab_checked = True
+            if self.index.stats.n_docs and (
+                n_terms := self.index.term_stats.count()
+            ) <= self.VOCAB_CACHE_MAX:
+                self._vocab = frozenset(
+                    r["term"] for r in self.index.term_stats.select("term").collect()
+                )
+        return self._vocab
+
     def _find_corrections(self, terms: list[str]) -> dict[str, str]:
         """For exact terms absent from the dictionary, find the best
         Damerau-Levenshtein correction (ref: SpellingCorrector.java:38-48)."""
         exact = sorted({t for t in terms if not t.endswith("*")})
         if not exact:
             return {}
-        present = {
-            r["term"]
-            for r in self.index.term_stats.filter(F.col("term").isin(exact))
-            .select("term").collect()
-        }
+        vocab = self._get_vocab()
+        if vocab is not None:
+            present = {t for t in exact if t in vocab}
+        else:
+            present = {
+                r["term"]
+                for r in self.index.term_stats.filter(F.col("term").isin(exact))
+                .select("term").collect()
+            }
         out: dict[str, str] = {}
         for t in exact:
             if t not in present:
@@ -264,8 +288,22 @@ class QueryExecutor:
         pq = Q.parse(query, tokenize=self._tokenize_query)
         self._corrections = {}
         self._query_terms = Q.collect_terms(pq.ast)
+        vocab = self._get_vocab()
+        if vocab is not None:
+            # reference semantics: every token without postings is corrected,
+            # even when other tokens match (QueryProcessor.java:397-417);
+            # O(1) against the cached dictionary, no extra Spark action
+            missing = [
+                t for t in self._query_terms
+                if not t.endswith("*") and t not in vocab
+            ]
+            if missing:
+                self._corrections = self._find_corrections(missing)
         rows = self._run_once(pq, k)
-        if not rows and self._query_terms:
+        if not rows and self._query_terms and vocab is None:
+            # big-vocabulary fallback: pay the dictionary lookup only after
+            # an empty result (approximation: a partially-matching query
+            # with one misspelled term skips correction on this path)
             corrections = self._find_corrections(self._query_terms)
             if corrections:
                 self._corrections = corrections

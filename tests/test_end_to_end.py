@@ -147,6 +147,14 @@ def test_spelling_correction(executor, oracle):
     assert_topk_equal(rows, expected)
 
 
+def test_spelling_correction_with_partial_match(executor, oracle):
+    """Reference semantics: a missing token is corrected even when the other
+    tokens already produce matches (QueryProcessor.java:397-417)."""
+    rows = executor.search("compress bufer", k=10).collect()
+    expected = oracle.bm25_topk(_terms("compress buffer"), 10)
+    assert_topk_equal(rows, expected)
+
+
 def test_empty_result(executor):
     rows = executor.search("zzzyxqqwv", k=10).collect()
     assert rows == []
