@@ -124,6 +124,69 @@ def test_tumbling_counts_stream_matches_batch(spark, tmp_path):
         assert batch_out[k] == v
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event older than (max event time - watermark) arriving in a later
+    micro-batch must not resurrect its already-finalized window."""
+    import pandas as pd
+
+    src_dir = str(tmp_path / "late_in")
+    os.makedirs(src_dir)
+    ckpt = str(tmp_path / "late_ckpt")
+    out_dir = str(tmp_path / "late_out")
+
+    def _drain(batch_tag):
+        def _sink(bdf, bid):
+            bdf.withColumn("tag", F.lit(batch_tag)).write.mode("append").parquet(out_dir)
+
+        stream = spark.readStream.schema(
+            spark.read.parquet(src_dir).schema
+        ).parquet(src_dir)
+        q = (
+            tumbling_counts(stream, window="5 minutes", watermark="5 minutes")
+            .writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir).filter(F.col("tag") == batch_tag).collect()
+
+    b1 = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:01:00", "2026-01-01 00:02:00",
+                 "2026-01-01 00:30:00"]  # advances watermark to 00:25
+            ),
+            "event_type": ["a", "a", "b"],
+            "value": [1.0, 1.0, 1.0],
+        }
+    )
+    spark.createDataFrame(b1).write.mode("append").parquet(src_dir)
+    first = _drain("first")
+    emitted = {
+        (str(r["w_start"]), r["event_type"]): r["n"] for r in first
+    }
+    # the 00:00 window closed (watermark passed it) and was emitted with n=2
+    assert emitted.get(("2026-01-01 00:00:00", "a")) == 2
+
+    # a late event for the already-closed 00:00 window
+    b2 = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2026-01-01 00:03:00"]),
+            "event_type": ["a"],
+            "value": [99.0],
+        }
+    )
+    spark.createDataFrame(b2).write.mode("append").parquet(src_dir)
+    second = _drain("second")
+    # append mode never re-emits the closed window; the late row is dropped
+    for r in second:
+        assert not (
+            str(r["w_start"]) == "2026-01-01 00:00:00" and r["event_type"] == "a"
+        ), second
+
+
 def test_running_user_totals_state_across_batches(spark, tmp_path):
     import pandas as pd
 
