@@ -215,6 +215,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _executor(spark, sf)
         )
     )
+    q["phrase_wand"] = lambda spark, sf: (
+        (lambda ex: __import__("awesome_spark_search.wand", fromlist=["x"])
+         .phrase_topk(spark, ex.index, ["table", "value"], k=10)
+         .select("doc_id", F.round(F.col("score"), 4).alias("score")))(
+            _executor(spark, sf)
+        )
+    )
     q["ql_jm_keyword"] = lambda spark, sf: (
         (lambda ex: QueryExecutor(
             spark, ex.index, source_df=ex.source_df, scorer="ql"
@@ -517,6 +524,8 @@ LIMIT 1
     o["spelling_corrected_search"] = _bm25_sql(_const_terms(["merge"]))
     # WAND must be rank- AND score-identical to the exhaustive BM25 plan
     o["wand_keyword"] = _bm25_sql(_const_terms(["merge", "batch", "table"]))
+    # packed-index positional phrase == the DataFrame phrase plan's oracle
+    o["phrase_wand"] = o["phrase_bm25"]
     o["ql_jm_keyword"] = f"""
 WITH {_TOK_CTE},
 qt AS ({_const_terms(["merge", "value"])}),

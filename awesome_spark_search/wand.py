@@ -148,6 +148,118 @@ def wand_topk(
     return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
+def _decode_positions_per_doc(r) -> tuple[np.ndarray, list[np.ndarray]]:
+    """One packed row -> (doc_ids, [positions array per doc])."""
+    ids = codec.delta_vbyte_decode(bytes(r["doc_ids_vb"]))
+    stream = codec.vbyte_decode(bytes(r["pos_vb"])).astype(np.int64)
+    out = []
+    i = 0
+    for _ in range(len(ids)):
+        n = int(stream[i]); i += 1
+        out.append(np.cumsum(stream[i: i + n])); i += n
+    return ids, out
+
+
+def _phrase_shard_factory(terms: list[str], idfs: dict[str, float], avgdl: float, k: int):
+    """Cogrouped applyInPandas: packed rows of the phrase terms in one
+    doc_shard x that shard's doc lengths -> local top-k of docs containing
+    the exact phrase (ref adjacency semantics: QueryProcessor.java:223-293)."""
+    distinct_terms = list(dict.fromkeys(terms))
+
+    def shard_phrase(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+        if left.empty or right.empty:
+            return empty
+        by_term = {}
+        for _, r in left.iterrows():
+            by_term[r["term"]] = _decode_positions_per_doc(r)
+        if any(t not in by_term for t in terms):
+            return empty
+        # ordered positional intersection: cur = positions where a prefix of
+        # the phrase ends; survive docs where every step keeps a match
+        ids0, pos0 = by_term[terms[0]]
+        cur = {int(d): p for d, p in zip(ids0, pos0)}
+        for t in terms[1:]:
+            ids_t, pos_t = by_term[t]
+            nxt_pos = {int(d): p for d, p in zip(ids_t, pos_t)}
+            cur = {
+                d: hits
+                for d, p in cur.items()
+                if d in nxt_pos
+                and len(hits := np.intersect1d(p + 1, nxt_pos[d], assume_unique=True))
+            }
+            if not cur:
+                return empty
+        survivors = np.fromiter(sorted(cur), np.int64)
+        dl_ids = right["doc_id"].to_numpy(np.int64)
+        dls_all = right["doc_len"].to_numpy(np.int64)
+        order = np.argsort(dl_ids)
+        dl_ids, dls_all = dl_ids[order], dls_all[order]
+        dls = dls_all[np.searchsorted(dl_ids, survivors)]
+        scores = np.zeros(len(survivors), np.float64)
+        for t in distinct_terms:
+            ids_t, _ = by_term[t]
+            tfs_t = codec.vbyte_decode(bytes(
+                left.loc[left["term"] == t, "tfs_vb"].iloc[0]
+            )).astype(np.float64)
+            pos_in_t = np.searchsorted(ids_t, survivors)
+            tf = tfs_t[pos_in_t]
+            scores += idfs[t] * tf / (tf + K1 * (1 - B + B * dls / avgdl))
+        take = min(k, len(survivors))
+        sel = np.lexsort((survivors, -scores))[:take]
+        return pd.DataFrame({"doc_id": survivors[sel], "score": scores[sel]})
+
+    return shard_phrase
+
+
+def phrase_topk(
+    spark: SparkSession,
+    index: Index,
+    terms: list[str],
+    k: int = 10,
+    n_term_buckets: int = 64,
+) -> DataFrame:
+    """Exact-phrase top-k BM25 entirely off the packed (compressed) index:
+    positions decode only for the phrase's terms, per doc-shard, and each
+    shard emits a bounded local top-k (north rule: positional query support
+    over the delta+VByte posting blobs)."""
+    assert index.packed is not None, "index built without packed postings"
+    if not terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    st = index.stats
+    distinct_terms = list(dict.fromkeys(terms))
+    buckets = sorted({_py_term_bucket(t, n_term_buckets) for t in distinct_terms})
+    stats_rows = (
+        index.term_stats.filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(distinct_terms))
+        .withColumn("idf", idf_col(F.col("df"), st.n_docs))
+        .select("term", "idf")
+        .collect()
+    )
+    idfs = {r["term"]: float(r["idf"]) for r in stats_rows}
+    if any(t not in idfs for t in distinct_terms):
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    packed = (
+        index.packed.filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(distinct_terms))
+    )
+    doc_lens = index.doc_map.select(
+        "doc_id",
+        "doc_len",
+        (F.col("doc_id") / F.lit(_infer_shard_size(index))).cast("long").alias("doc_shard"),
+    )
+    local = (
+        packed.groupBy("doc_shard")
+        .cogroup(doc_lens.groupBy("doc_shard"))
+        .applyInPandas(
+            _phrase_shard_factory(terms, idfs, st.avgdl, k), RESULT_SCHEMA
+        )
+    )
+    return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
 def decode_postings(index: Index, term: str, n_term_buckets: int = 64,
                     with_positions: bool = False) -> DataFrame:
     """Decode one term's packed blobs back to (doc_id, tf[, pos]) rows —

@@ -39,6 +39,27 @@ def test_wand_matches_dataframe_bm25(spark, packed_index, query):
         assert abs(g["score"] - w["score"]) < 1e-9
 
 
+@pytest.mark.parametrize("query", ['"merge sort buffer"', '"merge sort"'])
+def test_phrase_topk_matches_dataframe_path(spark, packed_index, query):
+    from awesome_spark_search.wand import phrase_topk
+
+    terms = preprocess_query_terms(query.strip('"'), do_stem=True)
+    ex = QueryExecutor(spark, packed_index)
+    want = ex.search(query, k=10).collect()
+    packed_index.doc_shard_size = 64
+    got = phrase_topk(spark, packed_index, terms, k=10).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for g, w in zip(got, want):
+        assert abs(g["score"] - w["score"]) < 1e-9
+
+
+def test_phrase_topk_no_match(spark, packed_index):
+    from awesome_spark_search.wand import phrase_topk
+
+    packed_index.doc_shard_size = 64
+    assert phrase_topk(spark, packed_index, ["buffer", "zzznope"], k=10).collect() == []
+
+
 def test_decode_postings_roundtrip(spark, packed_index):
     from awesome_spark_search.wand import decode_postings
 
