@@ -115,6 +115,44 @@ class IncrementalIndexer:
         d = self.spark.read.parquet(os.path.join(self.delta_dir, "doc_lens"))
         return d.groupBy("doc_id").agg(F.max("doc_len").alias("doc_len"))
 
+    def to_index(self, base: "Index | None" = None):
+        """Materialize a queryable Index over base + streamed deltas — the
+        same QueryExecutor runs unchanged over a continuously-ingested
+        corpus. term_stats/stats re-derive from the merged postings (cheap
+        aggregations; at scale run per compaction, not per query)."""
+        from .build import Index, IndexStats, term_bucket_col
+
+        postings = self.merged_postings(
+            base.postings if base is not None else None
+        )
+        lens = self.doc_lens()
+        if base is not None:
+            lens = (
+                base.doc_map.select("doc_id", "doc_len")
+                .unionByName(lens)
+                .groupBy("doc_id")
+                .agg(F.max("doc_len").alias("doc_len"))
+            )
+        doc_map = lens
+        term_stats = (
+            postings.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+            .withColumn("term_bucket", term_bucket_col(F.col("term"), self.n_buckets))
+        )
+        row = doc_map.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("doc_len"), F.lit(0)).alias("t"),
+            F.coalesce(F.avg("doc_len"), F.lit(0.0)).alias("a"),
+        ).collect()[0]
+        return Index(
+            doc_map=doc_map.persist(),
+            postings=postings.persist(),
+            term_stats=term_stats.persist(),
+            packed=None,
+            stats=IndexStats(row["n"], row["t"], float(row["a"]) or 1.0),
+            do_stem=self.do_stem,
+        )
+
 
 # ---------------------------------------------------------------------------
 # watermarked windowed aggregation

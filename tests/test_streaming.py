@@ -67,6 +67,31 @@ def test_incremental_index_matches_batch(spark, tmp_path, doc_pdf):
     assert len(lens) == N_DOCS
 
 
+def test_streamed_index_answers_queries_like_batch(spark, tmp_path, doc_pdf):
+    """The same QueryExecutor over a streaming-ingested index must return
+    rank-identical results to the batch-built index."""
+    from awesome_spark_search.build import build_index
+    from awesome_spark_search.executor import QueryExecutor
+
+    delta_dir = str(tmp_path / "qdelta")
+    ingest = IncrementalIndexer(spark, delta_dir, do_stem=True)
+    # two micro-batches via the foreachBatch contract
+    full = spark.createDataFrame(doc_pdf)
+    ingest.foreach_batch(spark.createDataFrame(doc_pdf.iloc[: N_DOCS // 2]), 0)
+    ingest.foreach_batch(spark.createDataFrame(doc_pdf.iloc[N_DOCS // 2:]), 1)
+
+    streamed = QueryExecutor(spark, ingest.to_index())
+    batch = QueryExecutor(
+        spark, build_index(spark, full, do_stem=True, build_packed=False)
+    )
+    for q in ["buffer", "buffer merge scan", '"merge sort buffer"', "token*"]:
+        got = streamed.search(q, k=10).collect()
+        want = batch.search(q, k=10).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], q
+        for g, w in zip(got, want):
+            assert abs(g["score"] - w["score"]) < 1e-9, q
+
+
 def test_merged_postings_idempotent_under_replay(spark, tmp_path, doc_pdf):
     """Replaying the same batch (at-least-once delivery) must not change the
     merged view."""
