@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _executor(spark, sf)
         )
     )
+    q["fielded_bm25"] = lambda spark, sf: _fielded_bm25(spark, sf)
     q["doc_metadata_topk"] = lambda spark, sf: (
         (lambda ex: ex.search("merge batch table", k=10)
          .join(ex.index.doc_map.select("doc_id", "repo", "path", "lang"), "doc_id")
@@ -375,6 +376,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     return q
+
+
+_FIELD_WEIGHTS = {"text": 1.0, "source": 0.5}
+_FIELD_TERMS = ["merge", "batch", "src"]
+
+
+def _fielded_bm25(spark, sf) -> DataFrame:
+    """Field/zone-weighted BM25 (reference ContentType weights analog) over
+    (text w=1.0, source w=0.5)."""
+    from awesome_spark_search.fields import build_fielded_postings, fielded_bm25_topk
+
+    docs = _docs(spark, sf).select("doc_id", "text", "source")
+    postings, lens, ts = build_fielded_postings(
+        docs, _FIELD_WEIGHTS, do_stem=False
+    )
+    return fielded_bm25_topk(
+        spark, postings, lens, ts, _FIELD_WEIGHTS, _FIELD_TERMS, k=10
+    ).select("doc_id", F.round(F.col("score"), 4).alias("score"))
 
 
 def _docs_with_planted_dups(spark, sf) -> DataFrame:
@@ -554,6 +573,47 @@ WITH {_TOK_CTE}
 SELECT doc_id, (i - 1)::INT AS pos
 FROM toks, unnest(range(1, len(all_toks) + 1)) AS t(i)
 WHERE all_toks[i] = 'merge'
+"""
+    o["fielded_bm25"] = f"""
+WITH ftoks AS (
+  SELECT doc_id, 'text' AS field,
+         list_filter(regexp_extract_all(lower(text), '[a-zA-Z-_]+'),
+                     t -> length(t) >= 2) AS all_toks
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'source' AS field,
+         list_filter(regexp_extract_all(lower(source), '[a-zA-Z-_]+'),
+                     t -> length(t) >= 2) AS all_toks
+  FROM documents
+),
+fterms AS (
+  SELECT doc_id, field,
+         unnest(list_filter(all_toks, t -> t NOT IN {_STOP})) AS term
+  FROM ftoks
+),
+ftf AS (SELECT doc_id, field, term, count(*)::BIGINT AS tf FROM fterms GROUP BY 1, 2, 3),
+fdl AS (SELECT doc_id, field, len(all_toks)::BIGINT AS doc_len FROM ftoks),
+favg AS (SELECT field, avg(doc_len) AS avgdl FROM fdl GROUP BY 1),
+fn AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+fdf AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM ftf
+  WHERE term IN ('merge', 'batch', 'src') GROUP BY 1
+),
+scored AS (
+  SELECT m.doc_id,
+         sum((CASE m.field WHEN 'text' THEN 1.0 ELSE 0.5 END)
+             * ln((n.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
+             * m.tf / (m.tf + 1.2 * (0.25 + 0.75 * l.doc_len / a.avgdl))) AS raw
+  FROM ftf m
+  JOIN fdf d USING (term)
+  JOIN fdl l ON l.doc_id = m.doc_id AND l.field = m.field
+  JOIN favg a ON a.field = m.field
+  CROSS JOIN fn n
+  WHERE m.term IN ('merge', 'batch', 'src')
+  GROUP BY m.doc_id
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 10
 """
     o["doc_metadata_topk"] = f"""
 WITH {_TOK_CTE},

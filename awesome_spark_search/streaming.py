@@ -115,6 +115,23 @@ class IncrementalIndexer:
         d = self.spark.read.parquet(os.path.join(self.delta_dir, "doc_lens"))
         return d.groupBy("doc_id").agg(F.max("doc_len").alias("doc_len"))
 
+    def compact_deltas(self, out_dir: str) -> None:
+        """Fold the append-only delta area into one consolidated base:
+        merged postings + doc lens rewritten term-bucket-partitioned and
+        term-sorted (row-group pruning layout). Run periodically so the
+        query-side merge stays O(#deltas since last compaction)."""
+        (
+            self.merged_postings()
+            .repartition(F.col("term_bucket"))
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(out_dir, "postings"))
+        )
+        self.doc_lens().write.mode("overwrite").parquet(
+            os.path.join(out_dir, "doc_lens")
+        )
+
     def to_index(self, base: "Index | None" = None):
         """Materialize a queryable Index over base + streamed deltas — the
         same QueryExecutor runs unchanged over a continuously-ingested

@@ -105,6 +105,26 @@ def test_merged_postings_idempotent_under_replay(spark, tmp_path, doc_pdf):
     assert once == twice
 
 
+def test_compact_deltas_preserves_postings(spark, tmp_path, doc_pdf):
+    delta_dir = str(tmp_path / "delta3")
+    out_dir = str(tmp_path / "compacted")
+    ingest = IncrementalIndexer(spark, delta_dir, do_stem=False)
+    ingest.foreach_batch(spark.createDataFrame(doc_pdf.iloc[:40]), 0)
+    ingest.foreach_batch(spark.createDataFrame(doc_pdf.iloc[40:80]), 1)
+    want = {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in ingest.merged_postings().collect()
+    }
+    ingest.compact_deltas(out_dir)
+    got = {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in spark.read.parquet(f"{out_dir}/postings").collect()
+    }
+    assert got == want and len(got) > 0
+    lens = spark.read.parquet(f"{out_dir}/doc_lens")
+    assert lens.count() == 80
+
+
 def test_tumbling_counts_stream_matches_batch(spark, tmp_path):
     import pandas as pd
 
