@@ -83,6 +83,40 @@ def ivf_topk(
     return brute_force_topk(pruned, query_vec, k, id_col, vec_col)
 
 
+def write_ivf_index(
+    emb: DataFrame, centroids: list[list[float]], path: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout: vectors written partitionBy(cluster), so a
+    query touches only its nprobe cluster directories (real partition
+    pruning, not a post-scan filter). This is the build stage of the ANN
+    scale path; at 10^9+ vectors clusters are the unit of IO."""
+    assigned = assign_ivf_clusters(emb, centroids, id_col, vec_col)
+    (
+        emb.join(assigned, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+
+
+def read_ivf_topk(
+    spark, path: str, centroids: list[list[float]], query_vec: list[float],
+    k: int = 10, nprobe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN over the on-disk IVF layout: centroid shortlist on the driver,
+    cluster partition pruning at the scan, exact rerank inside the probes."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    sims = (cents @ q) / (np.linalg.norm(cents, axis=1) * np.linalg.norm(q) + 1e-30)
+    probe = [int(c) for c in np.argsort(-sims)[:nprobe]]
+    pruned = spark.read.parquet(path).filter(F.col("cluster").isin(probe))
+    return brute_force_topk(pruned, query_vec, k, id_col, vec_col)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
