@@ -68,6 +68,7 @@ class Index:
     stats: IndexStats
     do_stem: bool = True
     build_metrics: list = field(default_factory=list)
+    doc_shard_size: int = DEFAULT_DOC_SHARD_SIZE  # packed sharding (query side must match)
 
 
 PACKED_SCHEMA = T.StructType(
@@ -309,4 +310,5 @@ def build_index(
         stats=stats,
         do_stem=do_stem,
         build_metrics=runner.metrics,
+        doc_shard_size=doc_shard_size,
     )

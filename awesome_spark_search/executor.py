@@ -45,6 +45,7 @@ class QueryExecutor:
         source_df: DataFrame | None = None,
         scorer: str = "bm25",
         n_term_buckets: int = DEFAULT_TERM_BUCKETS,
+        use_packed: bool = False,
     ):
         self.spark = spark
         self.index = index
@@ -57,6 +58,9 @@ class QueryExecutor:
         # driver-side vocabulary for O(1) existence checks (None = too big)
         self._vocab: frozenset[str] | None = None
         self._vocab_checked = False
+        # serve pure keyword/phrase queries from the packed compressed index
+        # (block-max WAND / positional decode) instead of the long table
+        self.use_packed = use_packed and index.packed is not None
 
     # ---- term access -----------------------------------------------------
 
@@ -311,6 +315,23 @@ class QueryExecutor:
         return self._localize(rows)
 
     def _run_once(self, pq: Q.ParsedQuery, k: int) -> list:
+        if self.use_packed and self.scorer == "bm25" and pq.prf == 0:
+            from . import wand as _wand
+
+            if isinstance(pq.ast, Q.Keyword) and not any(
+                t.endswith("*") for t in pq.ast.terms
+            ):
+                terms, _, _ = self.resolve_terms(pq.ast.terms)
+                return _wand.wand_topk(
+                    self.spark, self.index, terms, k=k,
+                    n_term_buckets=self.n_buckets,
+                ).collect()
+            if isinstance(pq.ast, Q.Phrase):
+                terms, _, _ = self.resolve_terms(pq.ast.terms, dedupe=False)
+                return _wand.phrase_topk(
+                    self.spark, self.index, terms, k=k,
+                    n_term_buckets=self.n_buckets,
+                ).collect()
         if Q.is_unranked(pq.ast):
             docs = self._doc_set(pq.ast)
             return (

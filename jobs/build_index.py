@@ -58,6 +58,8 @@ def main(argv=None) -> int:
         "n_docs": idx.stats.n_docs,
         "total_tokens": idx.stats.total_tokens,
         "avgdl": idx.stats.avgdl,
+        "doc_shard_size": args.doc_shard_size,
+        "term_buckets": args.term_buckets,
         "wall_sec": round(time.time() - t0, 3),
         "docs_per_sec": round(idx.stats.n_docs / max(time.time() - t0, 1e-9), 2),
         "stages": idx.build_metrics,

@@ -37,9 +37,16 @@ def load_index(spark: SparkSession, root: str) -> Index:
         "count(1) as n", "coalesce(sum(doc_len),0) as t", "coalesce(avg(doc_len),0.0) as a"
     ).collect()[0]
     stats = IndexStats(n_docs=row["n"], total_tokens=row["t"], avgdl=float(row["a"]) or 1.0)
+    kw = {}
+    summary_path = os.path.join(root, "build_summary.json")
+    if os.path.exists(summary_path):
+        with open(summary_path) as f:
+            s = json.load(f)
+        if s.get("doc_shard_size"):
+            kw["doc_shard_size"] = s["doc_shard_size"]
     return Index(
         doc_map=doc_map, postings=postings, term_stats=term_stats,
-        packed=packed, stats=stats,
+        packed=packed, stats=stats, **kw,
     )
 
 

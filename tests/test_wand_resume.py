@@ -53,6 +53,24 @@ def test_phrase_topk_matches_dataframe_path(spark, packed_index, query):
         assert abs(g["score"] - w["score"]) < 1e-9
 
 
+@pytest.mark.parametrize(
+    "query", ["buffer merge scan", '"merge sort buffer"', "mrege", "buffer AND merge"]
+)
+def test_packed_serving_mode_matches_dataframe_path(spark, packed_index, query):
+    """QueryExecutor(use_packed=True) must agree with the DataFrame path for
+    every dispatchable query type, including the spelling-correction retry
+    and the boolean fallback."""
+    packed_index.doc_shard_size = 64
+    df_ex = QueryExecutor(spark, packed_index)
+    pk_ex = QueryExecutor(spark, packed_index, use_packed=True)
+    want = df_ex.search(query, k=10).collect()
+    got = pk_ex.search(query, k=10).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], query
+    for g, w in zip(got, want):
+        if w["score"] is not None:
+            assert abs(g["score"] - w["score"]) < 1e-9, query
+
+
 def test_phrase_topk_no_match(spark, packed_index):
     from awesome_spark_search.wand import phrase_topk
 
