@@ -101,7 +101,16 @@ def _pack_many(pdf: pd.DataFrame, avgdl: float, n_buckets: int) -> pd.DataFrame:
     n = len(pdf)
     if n == 0:
         return pd.DataFrame(
-            {f.name: pd.Series(dtype="object") for f in PACKED_SCHEMA.fields}
+            {
+                "term_bucket": pd.Series(dtype="int32"),
+                "term": pd.Series(dtype="object"),
+                "doc_shard": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int32"),
+                "doc_ids_vb": pd.Series(dtype="object"),
+                "tfs_vb": pd.Series(dtype="object"),
+                "pos_vb": pd.Series(dtype="object"),
+                "block_max": pd.Series(dtype="object"),
+            }
         )
 
     new = np.empty(n, dtype=bool)

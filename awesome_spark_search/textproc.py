@@ -215,9 +215,11 @@ def doc_postings_flat(source_df, *, do_stem: bool, content_col: str = "content")
                 {
                     "doc_id": pd.Series(out_doc, dtype="int64"),
                     "doc_len": pd.Series(out_len, dtype="int64"),
-                    "term": out_term,
+                    # object dtype: an empty batch must not default to
+                    # float64 (Arrow cannot convert that to list<int>)
+                    "term": pd.Series(out_term, dtype="object"),
                     "tf": pd.Series(out_tf, dtype="int32"),
-                    "positions": out_pos,
+                    "positions": pd.Series(out_pos, dtype="object"),
                 }
             )
 
