@@ -188,6 +188,52 @@ def sample_frames(media: DataFrame, every_ms: int = 5000,
     ).mapInPandas(run, FRAME_SCHEMA)
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("rms", T.FloatType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def resample_audio(media: DataFrame, sample_rate: int = 16000,
+                   max_samples: int = 4096) -> DataFrame:
+    """mapInPandas audio resample stub: only `kind == 'audio'` rows cross the
+    Python boundary. The fake kernel derives a deterministic int16 waveform
+    from the payload bytes and reports its RMS; swap for torchaudio/librosa
+    resampling in production (raises via _require_decoder there)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, rms, payloads = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                wave = np.frombuffer(
+                    (b * (max_samples * 2 // max(len(b), 1) + 1))[: max_samples * 2],
+                    dtype=np.int16,
+                )
+                ids.append(media_id)
+                ns.append(len(wave))
+                rms.append(float(np.sqrt(np.mean(wave.astype(np.float64) ** 2))) if len(wave) else 0.0)
+                payloads.append(wave.tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series([sample_rate] * len(ids), dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "rms": pd.Series(rms, dtype="float32"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(run, AUDIO_SCHEMA)
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Metadata-only projection — payload column pruned at the Parquet scan."""
     return media.select(
