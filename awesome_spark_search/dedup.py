@@ -52,8 +52,12 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, shingle_hash) — k-token shingles hashed via md5->int64."""
+def shingles(docs: DataFrame, text_col: str = "text", k: int = SHINGLE_K,
+             unique: bool = True) -> DataFrame:
+    """(doc_id, shingle_hash) — k-token shingles hashed via md5->int64.
+
+    ``unique=False`` skips the distinct (a full shuffle): correct for
+    consumers insensitive to duplicates (MinHash: min() is idempotent)."""
     toks = docs.select("doc_id", _tokens_col(text_col).alias("toks"))
     # docs with fewer than k tokens produce no shingles (oracle parity);
     # sequence() would count DOWN for a negative span, hence the guard
@@ -66,7 +70,8 @@ def shingles(docs: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> Dat
             )
         ).alias("shingle"),
     )
-    return sh.select("doc_id", _md5_i64(F.col("shingle")).alias("shingle_hash")).distinct()
+    out = sh.select("doc_id", _md5_i64(F.col("shingle")).alias("shingle_hash"))
+    return out.distinct() if unique else out
 
 
 def minhash_signatures(
@@ -75,9 +80,10 @@ def minhash_signatures(
     """(doc_id, sig: array<long>) — permutation i = md5(i || shingle).
 
     One explode + one groupBy(doc_id); the k mins aggregate in a single pass
-    (map-side partial min per permutation).
+    (map-side partial min per permutation). Duplicate shingles don't change
+    a min, so the distinct shuffle is skipped entirely.
     """
-    sh = shingles(docs, text_col)
+    sh = shingles(docs, text_col, unique=False)
     per = sh.select(
         "doc_id",
         *[
