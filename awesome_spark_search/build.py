@@ -79,6 +79,10 @@ PACKED_SCHEMA = T.StructType(
         T.StructField("n", T.IntegerType(), False),
         T.StructField("doc_ids_vb", T.BinaryType(), False),
         T.StructField("tfs_vb", T.BinaryType(), False),
+        # doc lengths ride inside the blob (aligned with doc_ids) so the
+        # query side never joins doc_map — ~1-2 bytes/posting, the classic
+        # impact-index tradeoff
+        T.StructField("dls_vb", T.BinaryType(), False),
         T.StructField("pos_vb", T.BinaryType(), False),
         T.StructField("block_max", T.ArrayType(T.DoubleType()), False),
     ]
@@ -108,6 +112,7 @@ def _pack_many(pdf: pd.DataFrame, avgdl: float, n_buckets: int) -> pd.DataFrame:
                 "n": pd.Series(dtype="int32"),
                 "doc_ids_vb": pd.Series(dtype="object"),
                 "tfs_vb": pd.Series(dtype="object"),
+                "dls_vb": pd.Series(dtype="object"),
                 "pos_vb": pd.Series(dtype="object"),
                 "block_max": pd.Series(dtype="object"),
             }
@@ -151,6 +156,7 @@ def _pack_many(pdf: pd.DataFrame, avgdl: float, n_buckets: int) -> pd.DataFrame:
         cols["n"].append(k)
         cols["doc_ids_vb"].append(codec.delta_vbyte_encode(ids))
         cols["tfs_vb"].append(codec.vbyte_encode(t.astype(np.uint64)))
+        cols["dls_vb"].append(codec.vbyte_encode(dls[s:e].astype(np.uint64)))
         cols["pos_vb"].append(codec.vbyte_encode(stream))
         cols["block_max"].append(
             codec.block_max_scores(t, dls[s:e], avgdl, K1, B).tolist()
@@ -306,6 +312,10 @@ def build_index(
             "packed", _packed,
             partition_by=["term_bucket"], sort_within=["term", "doc_shard"],
         )
+        if cache and checkpoint_dir is None:
+            # without this, every packed-path query replays the whole
+            # repartition+sort+pack pipeline (minutes at 10^6 docs)
+            packed = packed.persist()
 
     if cache and checkpoint_dir is None:
         doc_map = doc_map.persist()

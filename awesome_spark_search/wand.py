@@ -8,8 +8,9 @@ blocks that cannot reach the running top-k threshold are skipped before
 decoding.
 
 Spark shape — scalable by construction:
-* packed postings are keyed (term, doc_shard); per-shard doc_len vectors join
-  in via **cogrouped applyInPandas**, so every Python invocation sees only one
+* packed postings are keyed (term, doc_shard) and carry their doc lengths
+  inside the blob (dls_vb), so a query is ONE applyInPandas over the few
+  matching packed rows — no doc_map join; every Python invocation sees one
   shard's worth of data (bounded by shard_size regardless of corpus size).
 * each shard emits its local top-k; the global top-k is a tiny
   TakeOrderedAndProject over n_shards*k rows.
@@ -42,19 +43,15 @@ RESULT_SCHEMA = T.StructType(
 
 
 def _shard_topk_factory(idfs: dict[str, float], avgdl: float, k: int):
-    """Returns the cogrouped applyInPandas fn: (packed rows, doc_len rows) ->
-    local top-k for one doc_shard."""
+    """Returns the applyInPandas fn: packed rows of one doc_shard ->
+    local top-k. Doc lengths are decoded from the blob itself (dls_vb),
+    so no doc_map join/cogroup happens at query time."""
 
-    def shard_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty or right.empty:
+    def shard_topk(left: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
             return pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": "int64", "score": "float64"}
             )
-        dl_ids = right["doc_id"].to_numpy(np.int64)
-        dls = right["doc_len"].to_numpy(np.int64)
-        order = np.argsort(dl_ids)
-        dl_ids, dls = dl_ids[order], dls[order]
-
         # decode all term rows in this shard; order terms by bound desc
         rows = []
         for _, r in left.iterrows():
@@ -70,11 +67,7 @@ def _shard_topk_factory(idfs: dict[str, float], avgdl: float, k: int):
             rest_bound = sum(remaining[i:])
             doc_ids = codec.delta_vbyte_decode(bytes(r["doc_ids_vb"]))
             tfs = codec.vbyte_decode(bytes(r["tfs_vb"])).astype(np.float64)
-            block_max = np.asarray(r["block_max"], dtype=np.float64)
-            # block-level skip: blocks whose bound cannot reach theta AND whose
-            # docs are not already candidates can be dropped
-            pos = np.searchsorted(dl_ids, doc_ids)
-            dl = dls[pos]
+            dl = codec.vbyte_decode(bytes(r["dls_vb"])).astype(np.float64)
             contrib = idf * tfs / (tfs + K1 * (1 - B + B * dl / avgdl))
             if len(scores) >= k and rest_bound < theta:
                 # WAND admission cutoff: a doc first appearing here has max
@@ -135,15 +128,8 @@ def wand_topk(
         index.packed.filter(F.col("term_bucket").isin(buckets))
         .filter(F.col("term").isin(list(idfs)))
     )
-    doc_lens = index.doc_map.select(
-        "doc_id",
-        "doc_len",
-        (F.col("doc_id") / F.lit(_infer_shard_size(index))).cast("long").alias("doc_shard"),
-    )
-    local = (
-        packed.groupBy("doc_shard")
-        .cogroup(doc_lens.groupBy("doc_shard"))
-        .applyInPandas(_shard_topk_factory(idfs, st.avgdl, k), RESULT_SCHEMA)
+    local = packed.groupBy("doc_shard").applyInPandas(
+        _shard_topk_factory(idfs, st.avgdl, k), RESULT_SCHEMA
     )
     return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
@@ -161,16 +147,16 @@ def _decode_positions_per_doc(r) -> tuple[np.ndarray, list[np.ndarray]]:
 
 
 def _phrase_shard_factory(terms: list[str], idfs: dict[str, float], avgdl: float, k: int):
-    """Cogrouped applyInPandas: packed rows of the phrase terms in one
-    doc_shard x that shard's doc lengths -> local top-k of docs containing
-    the exact phrase (ref adjacency semantics: QueryProcessor.java:223-293)."""
+    """applyInPandas: packed rows of the phrase terms in one doc_shard ->
+    local top-k of docs containing the exact phrase (ref adjacency
+    semantics: QueryProcessor.java:223-293)."""
     distinct_terms = list(dict.fromkeys(terms))
 
-    def shard_phrase(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    def shard_phrase(left: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
             {"doc_id": "int64", "score": "float64"}
         )
-        if left.empty or right.empty:
+        if left.empty:
             return empty
         by_term = {}
         for _, r in left.iterrows():
@@ -193,11 +179,12 @@ def _phrase_shard_factory(terms: list[str], idfs: dict[str, float], avgdl: float
             if not cur:
                 return empty
         survivors = np.fromiter(sorted(cur), np.int64)
-        dl_ids = right["doc_id"].to_numpy(np.int64)
-        dls_all = right["doc_len"].to_numpy(np.int64)
-        order = np.argsort(dl_ids)
-        dl_ids, dls_all = dl_ids[order], dls_all[order]
-        dls = dls_all[np.searchsorted(dl_ids, survivors)]
+        # doc lengths decode from the first term's blob (survivors are a
+        # subset of every phrase term's posting list)
+        ids0_row = left[left["term"] == terms[0]].iloc[0]
+        dls_all = codec.vbyte_decode(bytes(ids0_row["dls_vb"])).astype(np.float64)
+        ids0_sorted = by_term[terms[0]][0]
+        dls = dls_all[np.searchsorted(ids0_sorted, survivors)]
         scores = np.zeros(len(survivors), np.float64)
         for t in distinct_terms:
             ids_t, _ = by_term[t]
@@ -245,17 +232,8 @@ def phrase_topk(
         index.packed.filter(F.col("term_bucket").isin(buckets))
         .filter(F.col("term").isin(distinct_terms))
     )
-    doc_lens = index.doc_map.select(
-        "doc_id",
-        "doc_len",
-        (F.col("doc_id") / F.lit(_infer_shard_size(index))).cast("long").alias("doc_shard"),
-    )
-    local = (
-        packed.groupBy("doc_shard")
-        .cogroup(doc_lens.groupBy("doc_shard"))
-        .applyInPandas(
-            _phrase_shard_factory(terms, idfs, st.avgdl, k), RESULT_SCHEMA
-        )
+    local = packed.groupBy("doc_shard").applyInPandas(
+        _phrase_shard_factory(terms, idfs, st.avgdl, k), RESULT_SCHEMA
     )
     return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
@@ -299,8 +277,3 @@ def decode_postings(index: Index, term: str, n_term_buckets: int = 64,
 
     return rows.mapInPandas(gen_pos, "doc_id long, pos int")
 
-
-def _infer_shard_size(index: Index) -> int:
-    from .build import DEFAULT_DOC_SHARD_SIZE
-
-    return getattr(index, "doc_shard_size", None) or DEFAULT_DOC_SHARD_SIZE
