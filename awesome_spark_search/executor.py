@@ -151,12 +151,28 @@ class QueryExecutor:
 
     # ---- leaf/composite doc-set + match plans ---------------------------
 
+    PREFIX_EXPAND_MAX = 1000
+
     def _keyword_matches(self, kw: Q.Keyword) -> DataFrame:
         exact, prefixes, _ = self.resolve_terms(kw.terms)
         parts = []
         if exact:
             parts.append(self._postings_for_terms(exact, with_positions=False))
         for p in prefixes:
+            # dictionary-assisted expansion: resolve the matching terms from
+            # the (cached) term dictionary, then do bucket-pruned exact
+            # lookups instead of scanning the whole posting table; falls back
+            # to the range scan for huge vocabularies or explosive prefixes
+            vocab = self._get_vocab()
+            if vocab is not None:
+                matching = sorted(t for t in vocab if t.startswith(p))
+                if not matching:
+                    continue
+                if len(matching) <= self.PREFIX_EXPAND_MAX:
+                    parts.append(
+                        self._postings_for_terms(matching, with_positions=False)
+                    )
+                    continue
             parts.append(self._postings_for_prefix(p))
         if not parts:
             return self._empty_matches()
@@ -318,20 +334,27 @@ class QueryExecutor:
         if self.use_packed and self.scorer == "bm25" and pq.prf == 0:
             from . import wand as _wand
 
-            if isinstance(pq.ast, Q.Keyword) and not any(
-                t.endswith("*") for t in pq.ast.terms
-            ):
-                terms, _, _ = self.resolve_terms(pq.ast.terms)
-                return _wand.wand_topk(
-                    self.spark, self.index, terms, k=k,
-                    n_term_buckets=self.n_buckets,
-                ).collect()
+            if isinstance(pq.ast, Q.Keyword):
+                exact, prefixes, _ = self.resolve_terms(pq.ast.terms)
+                expanded = self._expand_prefixes(prefixes)
+                if expanded is not None:
+                    return _wand.wand_topk(
+                        self.spark, self.index, exact + expanded, k=k,
+                        n_term_buckets=self.n_buckets,
+                    ).collect()
             if isinstance(pq.ast, Q.Phrase):
                 terms, _, _ = self.resolve_terms(pq.ast.terms, dedupe=False)
                 return _wand.phrase_topk(
                     self.spark, self.index, terms, k=k,
                     n_term_buckets=self.n_buckets,
                 ).collect()
+            if isinstance(pq.ast, Q.Boolean):
+                spec = self._packed_bool_spec(pq.ast)
+                if spec is not None:
+                    return _wand.boolean_docs(
+                        self.spark, self.index, spec, k=k,
+                        n_term_buckets=self.n_buckets,
+                    ).collect()
         if Q.is_unranked(pq.ast):
             docs = self._doc_set(pq.ast)
             return (
@@ -358,6 +381,40 @@ class QueryExecutor:
             else:
                 return top
         return scored.collect()
+
+    def _expand_prefixes(self, prefixes: list[str]) -> list[str] | None:
+        """Resolve prefix terms against the cached dictionary. [] when there
+        are none; None when expansion isn't possible (no cached vocab or an
+        explosive prefix) — caller falls back to the range-scan plan."""
+        if not prefixes:
+            return []
+        vocab = self._get_vocab()
+        if vocab is None:
+            return None
+        out: list[str] = []
+        for p in prefixes:
+            matching = sorted(t for t in vocab if t.startswith(p))
+            if len(matching) > self.PREFIX_EXPAND_MAX:
+                return None
+            out.extend(matching)
+        return out
+
+    def _packed_bool_spec(self, ast):
+        """Boolean AST -> nested spec for wand.boolean_docs, or None when a
+        leaf isn't a plain keyword bag (prefix/phrase/LinkTo fall back to the
+        DataFrame doc-set plans)."""
+        if isinstance(ast, Q.Keyword):
+            exact, prefixes, _ = self.resolve_terms(ast.terms)
+            if prefixes:
+                return None
+            return ("terms", exact)
+        if isinstance(ast, Q.Boolean):
+            left = self._packed_bool_spec(ast.left)
+            right = self._packed_bool_spec(ast.right)
+            if left is None or right is None:
+                return None
+            return (ast.op.lower(), left, right)
+        return None
 
     def _prf_terms(self, pq: Q.ParsedQuery, top_rows: list, depth: int) -> list[str]:
         """Pseudo-relevance feedback: most frequent new tokens of the top-N

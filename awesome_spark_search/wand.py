@@ -238,6 +238,74 @@ def phrase_topk(
     return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
+DOCSET_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType(), False)])
+
+
+def _eval_docset(spec, by_term: dict) -> np.ndarray:
+    """Evaluate a boolean spec against per-term sorted doc_id arrays of ONE
+    doc_shard. spec = ("terms", [t...]) | (op, left, right), op in and/or/not.
+    Doc-sets partition cleanly by shard, so shard-local evaluation is exact."""
+    if spec[0] == "terms":
+        arrs = [by_term[t] for t in spec[1] if t in by_term]
+        if not arrs:
+            return np.zeros(0, np.int64)
+        out = arrs[0]
+        for a in arrs[1:]:
+            out = np.union1d(out, a)
+        return out
+    left = _eval_docset(spec[1], by_term)
+    right = _eval_docset(spec[2], by_term)
+    if spec[0] == "and":
+        return np.intersect1d(left, right, assume_unique=True)
+    if spec[0] == "or":
+        return np.union1d(left, right)
+    if spec[0] == "not":
+        return np.setdiff1d(left, right, assume_unique=True)
+    raise ValueError(spec[0])
+
+
+def boolean_docs(
+    spark: SparkSession,
+    index: Index,
+    spec,
+    k: int = 10,
+    n_term_buckets: int = 64,
+) -> DataFrame:
+    """Boolean doc-set query over the packed index: per-shard decode of the
+    involved terms' doc_id blobs, numpy set algebra, recency top-k
+    (doc_id DESC — ref: QueryProcessor.java:112-114). Returns (doc_id, score
+    NULL)."""
+    assert index.packed is not None
+
+    def all_terms(s):
+        return list(s[1]) if s[0] == "terms" else all_terms(s[1]) + all_terms(s[2])
+
+    terms = sorted(set(all_terms(spec)))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    buckets = sorted({_py_term_bucket(t, n_term_buckets) for t in terms})
+    packed = (
+        index.packed.filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .select("doc_shard", "term", "doc_ids_vb")
+    )
+
+    def shard_eval(left: pd.DataFrame) -> pd.DataFrame:
+        by_term: dict = {}
+        for _, r in left.iterrows():
+            by_term[r["term"]] = codec.delta_vbyte_decode(bytes(r["doc_ids_vb"]))
+        out = _eval_docset(spec, by_term)
+        out = np.sort(out)[::-1][:k]  # shard-local recency top-k
+        return pd.DataFrame({"doc_id": out})
+
+    local = packed.groupBy("doc_shard").applyInPandas(shard_eval, DOCSET_SCHEMA)
+    return (
+        local.orderBy(F.col("doc_id").desc())
+        .limit(k)
+        .withColumn("score", F.lit(None).cast("double"))
+    )
+
+
 def decode_postings(index: Index, term: str, n_term_buckets: int = 64,
                     with_positions: bool = False) -> DataFrame:
     """Decode one term's packed blobs back to (doc_id, tf[, pos]) rows —

@@ -54,7 +54,16 @@ def test_phrase_topk_matches_dataframe_path(spark, packed_index, query):
 
 
 @pytest.mark.parametrize(
-    "query", ["buffer merge scan", '"merge sort buffer"', "mrege", "buffer AND merge"]
+    "query",
+    [
+        "buffer merge scan",
+        '"merge sort buffer"',
+        "mrege",
+        "buffer AND merge",
+        "buffer NOT merge",
+        "varint OR atomic",
+        "token*",
+    ],
 )
 def test_packed_serving_mode_matches_dataframe_path(spark, packed_index, query):
     """QueryExecutor(use_packed=True) must agree with the DataFrame path for
