@@ -59,7 +59,9 @@ def run(sf_dir: str, cpus: int, do_stem: bool = True) -> dict:
         return idx
 
     idx = timed("index_build", _build)
-    ex = QueryExecutor(spark, idx, source_df=src)
+    # packed serving mode: keyword/phrase/boolean/prefix run off the
+    # compressed index (WAND, positional decode, doc-set algebra)
+    ex = QueryExecutor(spark, idx, source_df=src, use_packed=True)
 
     # one untimed warmup query: first search pays Python-worker startup and
     # plan codegen; steady-state latency is the meaningful number
