@@ -675,7 +675,8 @@ shingle AS (
 perms AS (SELECT unnest(range(0, 8)) AS p),
 hashed AS (
   SELECT s.doc_id, p.p,
-         ('0x' || substr(md5('p' || p.p || '|' || s.shingle_hash), 1, 8))::BIGINT AS h
+         ('0x' || substr(md5('g' || (p.p // 4) || '|' || s.shingle_hash),
+                         1 + 8 * (p.p % 4), 8))::BIGINT AS h
   FROM shingle s CROSS JOIN perms p
 ),
 sig AS (

@@ -38,6 +38,13 @@ def _md5_i64(col):
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def _md5_slot_i64(col, slot: int):
+    """Hex chars [8*slot, 8*slot+8) of md5 -> bigint — four independent
+    32-bit hashes per digest. Catalyst's subexpression elimination computes
+    each md5 once, so 8 MinHash permutations cost 2 digests, not 8."""
+    return F.conv(F.substring(F.md5(col), 1 + 8 * slot, 8), 16, 10).cast("long")
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: sha256-groupBy. Returns (content_sha256, dup_count,
     min_doc_id = canonical survivor) for groups with >1 member."""
@@ -87,7 +94,10 @@ def minhash_signatures(
     per = sh.select(
         "doc_id",
         *[
-            _md5_i64(F.concat(F.lit(f"p{i}|"), F.col("shingle_hash").cast("string"))).alias(f"h{i}")
+            _md5_slot_i64(
+                F.concat(F.lit(f"g{i // 4}|"), F.col("shingle_hash").cast("string")),
+                i % 4,
+            ).alias(f"h{i}")
             for i in range(n_perms)
         ],
     )
