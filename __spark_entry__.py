@@ -246,16 +246,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _executor(spark, sf)
         )
     )
+    # snippet_top5 / ndcg_at_10: intentionally no SQL oracle (rows-only) —
+    # sentence split + greedy set-cover and the gain curve are pinned by
+    # golden unit tests (tests/test_snippets_golden.py) instead
     q["snippet_top5"] = lambda spark, sf: _snippet_top5(spark, sf)
     q["ndcg_at_10"] = lambda spark, sf: _ndcg_entry(spark, sf)
     q["linkto"] = lambda spark, sf: (
         _pagerank.citations_of(_citation_edges(spark, sf), 42)
     )
+    # floor(x*1e6+0.5)/1e6 rounding on BOTH sides: the Spark and DuckDB
+    # expression trees sum in different orders, and round() half-tie rules
+    # differ between the engines (CLAUDE.md float invariant)
     q["pagerank_top10"] = lambda spark, sf: (
         _pagerank.pagerank(
             spark, _citation_edges(spark, sf), _n_docs(spark, sf), iterations=5
         )
-        .select("doc_id", F.round("pagerank", 6).alias("pagerank"))
+        .select(
+            "doc_id",
+            (F.floor(F.col("pagerank") * 1e6 + F.lit(0.5)) / F.lit(1e6)).alias("pagerank"),
+        )
         .orderBy(F.col("pagerank").desc(), F.col("doc_id").asc())
         .limit(10)
     )
@@ -284,8 +293,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(spark, sf), _query_vec(spark, sf), k=10
         ).select("vec_id", F.round("cosine", 4).alias("cosine"))
     )
+    # centroid-blocked (IVF) pairing — the sub-quadratic scale path IS the
+    # value-checked path; the all-pairs form is a test-only baseline
+    # (tests/test_similarity.py)
     q["embedding_near_dup"] = lambda spark, sf: (
-        _similarity.embedding_near_dup_pairs(_emb(spark, sf), threshold=0.45)
+        _similarity.embedding_near_dup_pairs(
+            _emb(spark, sf), threshold=0.45, centroids=_centroids(spark, sf)
+        )
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )
     q["ivf_topk"] = lambda spark, sf: (
@@ -371,6 +385,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_frame_sample"] = lambda spark, sf: (
         (lambda mm: mm.sample_frames(mm.synth_media(spark, 64))
          .select("media_id", "frame_idx", "ts_ms"))(
+            __import__("awesome_spark_search.multimodal", fromlist=["x"])
+        )
+    )
+    # REAL stdlib container parsing (PNG IHDR / WAV fmt+data chunk walk) over
+    # deterministic generated payloads — rows-only (payloads are in-session
+    # binary, not a parquet table DuckDB can see); parsing is pinned by
+    # tests/test_multimodal.py golden bytes
+    q["media_probe"] = lambda spark, sf: (
+        (lambda mm: mm.probe_media(mm.synth_probe_media(spark, 24))
+         .select("media_id", "container", "width", "height", "channels",
+                 "sample_rate", "duration_ms"))(
             __import__("awesome_spark_search.multimodal", fromlist=["x"])
         )
     )
@@ -644,7 +669,46 @@ e AS (
 )
 SELECT src AS doc_id FROM e WHERE dst = 42 AND src != dst ORDER BY doc_id DESC
 """
-    # pagerank_top10: iterative — intentionally no SQL oracle (rows-only check)
+    # pagerank_top10: power iteration (damping 0.85, dangling mass folded
+    # back uniformly — ref: src/querying/ranking/PageRankCalculator.java:53-82)
+    # unrolled as 5 DuckDB CTE iterations over the same synthetic edge set
+    pr_iters = []
+    for k in range(1, 6):
+        p = k - 1
+        pr_iters.append(f"""
+d{k} AS (
+  SELECT coalesce(sum(r.rank), 0) AS dang
+  FROM r{p} r LEFT JOIN deg ON deg.src = r.id WHERE deg.src IS NULL
+),
+i{k} AS (
+  SELECT e.dst, sum(r.rank / deg.out_deg) AS inflow
+  FROM e JOIN r{p} r ON r.id = e.src JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT nodes.id,
+         (1 - 0.85) / nn.n + 0.85 * (coalesce(i.inflow, 0) + d.dang / nn.n) AS rank
+  FROM nodes CROSS JOIN nn CROSS JOIN d{k} d
+  LEFT JOIN i{k} i ON i.dst = nodes.id
+)""")
+    o["pagerank_top10"] = f"""
+WITH nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+cnt AS (SELECT count(*)::BIGINT AS n FROM documents),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id::BIGINT AS src, (doc_id * 7 + 13) % cnt.n AS dst FROM documents, cnt
+    UNION ALL
+    SELECT doc_id::BIGINT AS src, (doc_id * 3 + 101) % cnt.n AS dst FROM documents, cnt
+  ) WHERE src != dst
+),
+nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+deg AS (SELECT src, count(*)::DOUBLE AS out_deg FROM e GROUP BY 1),
+r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes, nn),
+{','.join(pr_iters)}
+SELECT id AS doc_id, floor(rank * 1e6 + 0.5) / 1e6 AS pagerank
+FROM r5
+ORDER BY pagerank DESC, doc_id ASC LIMIT 10
+"""
 
     o["exact_dedup"] = """
 WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
@@ -756,10 +820,25 @@ SELECT vec_id, round({cos_expr}, 4) AS cosine
 FROM embeddings e
 ORDER BY {cos_expr} DESC, vec_id ASC LIMIT 10
 """
+    # cluster-blocked: pairs form only within a centroid cell (mirrors the
+    # Spark IVF blocking; assignment tie-break = lowest centroid id)
     o["embedding_near_dup"] = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < 10
+),
+assign AS (
+  SELECT e.vec_id,
+         (SELECT cid FROM cents
+          ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c) DESC, cid ASC
+          LIMIT 1) AS cluster
+  FROM embeddings e
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM embeddings a
+JOIN assign aa ON aa.vec_id = a.vec_id
+JOIN embeddings b ON a.vec_id < b.vec_id
+JOIN assign ab ON ab.vec_id = b.vec_id AND ab.cluster = aa.cluster
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
 """
     o["ivf_topk"] = """

@@ -109,17 +109,86 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+MAX_BUCKET_SIZE = 64  # a bucket of k docs emits k^2/2 pairs; cap bounds it
+
+
+def dedup_exact_canonical(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One surviving row (min doc_id) per distinct content. The exact-dup
+    pre-pass for LSH: byte-identical docs land in identical buckets in EVERY
+    band, so a boilerplate file repeated k times alone makes a k^2 bucket;
+    collapsing them first keeps LSH buckets to genuine near-dups. Pairs among
+    exact duplicates are reported by ``exact_duplicates`` instead."""
+    canon = (
+        docs.select("doc_id", F.sha2(F.col(text_col), 256).alias("_h"))
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(canon, "doc_id", "left_semi")
+
+
+def lsh_bucket_sizes(
     docs: DataFrame,
     text_col: str = "text",
     n_perms: int = MINHASH_PERMS,
     bands: int = LSH_BANDS,
 ) -> DataFrame:
+    """(band, bucket, n_docs) — the skew diagnostic for the bucket cap: run
+    with a threshold filter to see which buckets ``max_bucket_size`` drops."""
+    banded = _banded(minhash_signatures(docs, text_col, n_perms), n_perms, bands)
+    return banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE,
+    dedup_exact: bool = True,
+) -> DataFrame:
     """Near-dup candidate pairs via banded LSH: equal band-slice of the MinHash
-    signature -> same bucket -> pair. Returns (doc_a, doc_b) with doc_a < doc_b."""
+    signature -> same bucket -> pair. Returns (doc_a, doc_b) with doc_a < doc_b.
+
+    Scale guards (both on by default, no-ops on a corpus without heavy dups):
+
+    * ``dedup_exact``: collapse byte-identical docs to their min-doc_id
+      canonical before hashing (see ``dedup_exact_canonical``).
+    * ``max_bucket_size``: buckets larger than this emit NO pairs — a bucket
+      of k near-identical docs otherwise goes k^2 (the 100 TB job-killer).
+      Dropped buckets are observable, not silent: ``lsh_bucket_sizes``
+      filtered to ``n_docs > max_bucket_size`` lists exactly what was skipped
+      (log it next to the job; tests/test_edge_cases.py pins the behavior).
+    """
+    if dedup_exact:
+        docs = dedup_exact_canonical(docs, text_col)
+    banded = _banded(minhash_signatures(docs, text_col, n_perms), n_perms, bands)
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok, ["band", "bucket"], "left_semi")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _banded(sig: DataFrame, n_perms: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) — md5 bucket of each band's signature slice."""
     rows = n_perms // bands
-    sig = minhash_signatures(docs, text_col, n_perms)
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -135,18 +204,6 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
-    )
 
 
 def ngram_jaccard_pairs(
@@ -179,37 +236,32 @@ def ngram_jaccard_pairs(
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """(doc_id, simhash:long) — tf-weighted sign sum over md5 term hashes.
 
-    Explode terms -> per-(doc,term) tf -> per-bit weighted vote -> pack. The
-    per-bit expansion stays JVM-side via transform over a bit sequence.
+    The per-bit vote is linear in token occurrences (sum over terms of
+    tf*sign == sum over raw occurrences of sign), so no per-(doc,term) tf
+    aggregation is needed and no per-bit row expansion either: one explode of
+    tokens, then ONE groupBy(doc_id) with ``bits`` codegen'd conditional sums
+    (map-side combine collapses each partition to one partial row per doc —
+    the shuffle carries bits ints per doc, not bits rows per term).
     """
-    toks = docs.select("doc_id", F.explode(_tokens_col(text_col)).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    h = tf.withColumn("th", _md5_i64(F.col("term")))
-    # bit positions unrolled as Python-int literals (shiftright/shiftleft take
-    # a constant shift; the array stays one codegen'd expression)
-    votes = h.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("bit"),
-                        F.when(
-                            F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1,
-                            F.col("tf"),
-                        ).otherwise(-F.col("tf")).alias("vote"),
-                    )
-                    for i in range(bits)
-                ]
-            )
-        ).alias("bv"),
-    ).select("doc_id", "bv.bit", "bv.vote")
-    bitval = F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(
-        F.lit(0).cast("long")
+    th = docs.select(
+        "doc_id", F.explode(_tokens_col(text_col)).alias("term")
+    ).select("doc_id", _md5_i64(F.col("term")).alias("th"))
+    # bit positions unrolled as Python-int literals (shiftright takes a
+    # constant shift; all 32 sums evaluate in one whole-stage-codegen pass)
+    votes = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
     )
-    bitvals = (
-        votes.groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-        .withColumn("bitval", bitval)
-    )
-    return bitvals.groupBy("doc_id").agg(F.sum("bitval").alias("simhash"))
+    packed = None
+    for i in range(bits):
+        bitval = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = bitval if packed is None else packed + bitval
+    return votes.select("doc_id", packed.alias("simhash"))

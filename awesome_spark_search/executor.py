@@ -9,8 +9,8 @@ Spark-native rendition of the reference's QueryProcessor dispatch
 * prefix tok*  -> range filter on the sorted term column
 * LinkTo:ID    -> citation edge filter
 * spelling     -> Damerau-Levenshtein correction when a term has no postings
-* PRF #N       -> two-pass search, +10 most frequent tokens of top-N docs
-                  at weight 0.25
+* PRF #N       -> two-pass search, +10 most frequent tokens of the generated
+                  snippets of the top-N docs at weight 0.25
 
 Every plan stays declarative: term lookups prune partitions via term_bucket,
 keyword scoring never touches the positions column (columnar pruning = the
@@ -54,6 +54,7 @@ class QueryExecutor:
         self.scorer = scorer
         self.n_buckets = n_term_buckets
         self._corrections: dict[str, str] = {}
+        self.last_corrections: dict[str, str] = {}  # surfaced to formatters
         self._query_terms: list[str] = []
         # driver-side vocabulary for O(1) existence checks (None = too big)
         self._vocab: frozenset[str] | None = None
@@ -94,9 +95,9 @@ class QueryExecutor:
     ) -> tuple[list[str], list[str], dict[str, str]]:
         """Split exact/prefix terms, applying the active correction map
         (ref: QueryProcessor.java:397-417 corrects tokens with no postings;
-        here corrections are discovered lazily by ``search``'s empty-result
-        retry so the happy path never pays an extra dictionary lookup).
-        Returns (exact, prefixes, corrections_applied).
+        ``search`` discovers corrections up front — cached-vocab O(1) or a
+        per-query existence semi-filter). Returns
+        (exact, prefixes, corrections_applied).
         ``dedupe=False`` preserves order+multiplicity (phrase semantics)."""
         exact, prefixes = [], []
         for t in terms:
@@ -114,8 +115,9 @@ class QueryExecutor:
     def _get_vocab(self) -> frozenset[str] | None:
         """Driver-cached term dictionary when it is small enough; the
         existence check then costs zero Spark actions per query. For huge
-        vocabularies (10^8-term code corpora) this returns None and
-        correction falls back to the empty-result retry."""
+        vocabularies (10^8-term code corpora) this returns None and the
+        existence check runs as a per-query isin semi-filter instead
+        (same semantics, one small action)."""
         if not self._vocab_checked:
             self._vocab_checked = True
             if self.index.stats.n_docs and (
@@ -136,9 +138,12 @@ class QueryExecutor:
         if vocab is not None:
             present = {t for t in exact if t in vocab}
         else:
+            buckets = sorted({_py_term_bucket(t, self.n_buckets) for t in exact})
             present = {
                 r["term"]
-                for r in self.index.term_stats.filter(F.col("term").isin(exact))
+                for r in self.index.term_stats
+                .filter(F.col("term_bucket").isin(buckets))
+                .filter(F.col("term").isin(exact))
                 .select("term").collect()
             }
         out: dict[str, str] = {}
@@ -302,32 +307,25 @@ class QueryExecutor:
         (doc_id, score=NULL recency order) for Boolean/LinkTo
         (ref: QueryProcessor.java:110-127).
 
-        One Spark action on the happy path; an empty result triggers the
-        spelling-correction retry (ref: QueryProcessor.java:397-417). The
-        returned DataFrame is localized (k rows)."""
+        Reference semantics at ANY vocabulary size: every token without
+        postings is corrected, even when other tokens match
+        (ref: QueryProcessor.java:397-417). With the cached dictionary the
+        existence check is O(1) on the driver and the happy path stays ONE
+        Spark action; past ``VOCAB_CACHE_MAX`` it is a per-query ``isin``
+        semi-filter of the (tiny) query-term list against term_stats — one
+        extra small action, no driver dictionary, identical semantics.
+        Applied corrections are exposed as ``last_corrections``. The returned
+        DataFrame is localized (k rows)."""
         pq = Q.parse(query, tokenize=self._tokenize_query)
         self._corrections = {}
         self._query_terms = Q.collect_terms(pq.ast)
-        vocab = self._get_vocab()
-        if vocab is not None:
-            # reference semantics: every token without postings is corrected,
-            # even when other tokens match (QueryProcessor.java:397-417);
-            # O(1) against the cached dictionary, no extra Spark action
-            missing = [
-                t for t in self._query_terms
-                if not t.endswith("*") and t not in vocab
-            ]
-            if missing:
-                self._corrections = self._find_corrections(missing)
+        exact_q = [t for t in self._query_terms if not t.endswith("*")]
+        if exact_q:
+            # _find_corrections checks existence against the cached vocab
+            # (zero actions) or a bucket-pruned isin filter (one small action)
+            self._corrections = self._find_corrections(exact_q)
+        self.last_corrections = dict(self._corrections)
         rows = self._run_once(pq, k)
-        if not rows and self._query_terms and vocab is None:
-            # big-vocabulary fallback: pay the dictionary lookup only after
-            # an empty result (approximation: a partially-matching query
-            # with one misspelled term skips correction on this path)
-            corrections = self._find_corrections(self._query_terms)
-            if corrections:
-                self._corrections = corrections
-                rows = self._run_once(pq, k)
         return self._localize(rows)
 
     def _run_once(self, pq: Q.ParsedQuery, k: int) -> list:
@@ -417,21 +415,40 @@ class QueryExecutor:
         return None
 
     def _prf_terms(self, pq: Q.ParsedQuery, top_rows: list, depth: int) -> list[str]:
-        """Pseudo-relevance feedback: most frequent new tokens of the top-N
-        docs' content (ref: QueryProcessor.java:427-466). Driver-side: N docs."""
+        """Pseudo-relevance feedback: most frequent new tokens of the
+        GENERATED SNIPPETS of the top-N docs, concatenated in rank order
+        (ref: QueryProcessor.java:427-438 — extendPrfQuery feeds each top
+        document through snippetGenerator.generate and tokenizes the joined
+        snippets, NOT the full contents). Driver-side: N docs, k snippets.
+
+        Tie-break: (-count, term) — the reference's HashMap + comparator
+        ordering is JVM-iteration-dependent, so the rebuild pins the
+        deterministic choice (highest count first, then term ASC; the
+        reference's MapValueComparator.natural() ascending sort appears to be
+        a bug against its own 'most frequent' docstring)."""
         if self.source_df is None:
             return []
         top_ids = [r["doc_id"] for r in top_rows[:depth]]
         if not top_ids:
             return []
-        rows = (
-            self.source_df.filter(F.col("doc_id").isin(top_ids))
-            .select("content").collect()
-        )
-        counter: Counter[str] = Counter()
-        for r in rows:
-            _, pairs = tokenize_text(r["content"], do_stem=self.index.do_stem)
-            counter.update(t for t, _ in pairs)
+        from .snippets import generate_snippet
+
+        contents = {
+            r["doc_id"]: r["content"]
+            for r in self.source_df.filter(F.col("doc_id").isin(top_ids))
+            .select("doc_id", "content").collect()
+        }
         base = set(Q.collect_terms(pq.ast))
+        query_terms = sorted(
+            {self._corrections.get(t, t) for t in base if not t.endswith("*")}
+        )
+        concatenated = " ".join(
+            generate_snippet(
+                contents.get(doc_id, ""), query_terms, do_stem=self.index.do_stem
+            )
+            for doc_id in top_ids
+        )
+        _, pairs = tokenize_text(concatenated, do_stem=self.index.do_stem)
+        counter: Counter[str] = Counter(t for t, _ in pairs)
         ranked = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))
         return [t for t, _ in ranked if t not in base][:PRF_MOST_FREQUENT_TOKENS]

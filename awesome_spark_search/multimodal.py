@@ -58,6 +58,26 @@ def _require_decoder(kind: str):
     )
 
 
+def _resolve_kernel(decoder, kind: str, stub):
+    """Decoder contract shared by all four kernels:
+
+    * ``"stub"``    -> the deterministic fake (tests / this sandbox),
+    * ``"strict"``  -> production mode: raises DecoderUnavailable AT PLAN
+      BUILD TIME (driver-side, loud) rather than silently faking decode,
+    * a callable    -> injected real decoder (PIL/torchaudio/ffmpeg adapter)
+      with the stub's signature.
+
+    Pinned by tests/test_multimodal.py (strict raises; an injected fake
+    flows through every kernel)."""
+    if decoder == "strict":
+        _require_decoder(kind)
+    if decoder == "stub":
+        return stub
+    if callable(decoder):
+        return decoder
+    raise ValueError(f"decoder must be 'stub', 'strict' or a callable: {decoder!r}")
+
+
 def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
     """Deterministic fake 'decode' so the pipeline is testable end-to-end:
     derives FEATURE_DIM floats from the sha256 of the payload. Replace with a
@@ -67,9 +87,12 @@ def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
     return raw / 65535.0
 
 
-def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+def extract_features(media: DataFrame, batch_size_hint: int = 256,
+                     decoder="stub") -> DataFrame:
     """mapInPandas feature extraction: binary payload -> fixed-dim vector.
-    One Arrow batch in, one out; never materializes the whole partition."""
+    One Arrow batch in, one out; never materializes the whole partition.
+    ``decoder``: 'stub' | 'strict' | callable(payload, kind)->ndarray."""
+    decode = _resolve_kernel(decoder, "feature", _decode_stub)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -78,7 +101,7 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
                 b = bytes(payload) if payload is not None else b""
                 shas.append(hashlib.sha256(b).hexdigest())
                 sizes.append(len(b))
-                feats.append(_decode_stub(b, kind).tolist())
+                feats.append(decode(b, kind).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -124,15 +147,18 @@ def _resize_stub(payload: bytes, w: int, h: int) -> bytes:
     return bytes(out[: w * h])
 
 
-def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+def resize_images(media: DataFrame, width: int = 64, height: int = 64,
+                  decoder="stub") -> DataFrame:
     """mapInPandas image resize: only `kind == 'image'` rows are processed;
     the filter happens BEFORE the Python boundary so audio/video payload
-    bytes never cross into Arrow."""
+    bytes never cross into Arrow.
+    ``decoder``: 'stub' | 'strict' | callable(payload, w, h)->bytes."""
+    resize = _resolve_kernel(decoder, "image", _resize_stub)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [
-                _resize_stub(bytes(p) if p is not None else b"", width, height)
+                resize(bytes(p) if p is not None else b"", width, height)
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(
@@ -150,12 +176,18 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFr
     ).mapInPandas(run, RESIZED_SCHEMA)
 
 
+def _frame_stub(payload: bytes, ts_ms: int) -> bytes:
+    """Deterministic fake frame: sha256(payload || ts). Replace with an
+    ffmpeg seek+decode in production (decoder='strict' raises there)."""
+    return hashlib.sha256(payload + int(ts_ms).to_bytes(8, "big")).digest()
+
+
 def sample_frames(media: DataFrame, every_ms: int = 5000,
-                  max_frames: int = 8) -> DataFrame:
+                  max_frames: int = 8, decoder="stub") -> DataFrame:
     """mapInPandas video frame sampling: one output row per sampled frame.
-    Frame timestamps step by ``every_ms`` up to duration; the fake frame
-    payload is sha256(payload || ts) — deterministic and schema-faithful.
-    Replace the inner derivation with an ffmpeg seek+decode in production."""
+    Frame timestamps step by ``every_ms`` up to duration.
+    ``decoder``: 'stub' | 'strict' | callable(payload, ts_ms)->bytes."""
+    grab = _resolve_kernel(decoder, "video", _frame_stub)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -171,9 +203,7 @@ def sample_frames(media: DataFrame, every_ms: int = 5000,
                     ids.append(media_id)
                     idxs.append(i)
                     tss.append(ts)
-                    frames.append(
-                        hashlib.sha256(b + ts.to_bytes(8, "big")).digest()
-                    )
+                    frames.append(grab(b, ts))
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
@@ -199,22 +229,28 @@ AUDIO_SCHEMA = T.StructType(
 )
 
 
+def _audio_stub(payload: bytes, sample_rate: int, max_samples: int) -> np.ndarray:
+    """Deterministic fake int16 waveform derived from the payload bytes.
+    Replace with torchaudio/librosa resampling in production."""
+    return np.frombuffer(
+        (payload * (max_samples * 2 // max(len(payload), 1) + 1))[: max_samples * 2],
+        dtype=np.int16,
+    )
+
+
 def resample_audio(media: DataFrame, sample_rate: int = 16000,
-                   max_samples: int = 4096) -> DataFrame:
-    """mapInPandas audio resample stub: only `kind == 'audio'` rows cross the
-    Python boundary. The fake kernel derives a deterministic int16 waveform
-    from the payload bytes and reports its RMS; swap for torchaudio/librosa
-    resampling in production (raises via _require_decoder there)."""
+                   max_samples: int = 4096, decoder="stub") -> DataFrame:
+    """mapInPandas audio resample: only `kind == 'audio'` rows cross the
+    Python boundary; the kernel yields an int16 waveform and its RMS.
+    ``decoder``: 'stub' | 'strict' | callable(payload, rate, max)->int16[]."""
+    resample = _resolve_kernel(decoder, "audio", _audio_stub)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ns, rms, payloads = [], [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                wave = np.frombuffer(
-                    (b * (max_samples * 2 // max(len(b), 1) + 1))[: max_samples * 2],
-                    dtype=np.int16,
-                )
+                wave = resample(b, sample_rate, max_samples)
                 ids.append(media_id)
                 ns.append(len(wave))
                 rms.append(float(np.sqrt(np.mean(wave.astype(np.float64) ** 2))) if len(wave) else 0.0)
@@ -234,6 +270,86 @@ def resample_audio(media: DataFrame, sample_rate: int = 16000,
     ).mapInPandas(run, AUDIO_SCHEMA)
 
 
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), False),  # png|wav|unknown
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def probe_payload(b: bytes) -> dict:
+    """REAL (not stubbed) container metadata extraction, stdlib-only:
+
+    * PNG: signature + IHDR chunk -> width, height, bit depth
+      (PNG spec: 8-byte signature, IHDR is the first chunk; width/height are
+      big-endian u32 at IHDR offsets 0/4, bit depth u8 at 8).
+    * WAV: RIFF/WAVE chunk walk -> channels, sample rate, bits/sample from
+      the 'fmt ' chunk; duration from the 'data' chunk byte length.
+
+    Anything else -> container='unknown' with null fields. This is the
+    metadata half of the decode boundary that needs no external library;
+    pixel/sample DECODE stays behind the decoder contract."""
+    import struct
+
+    out = {"container": "unknown", "width": None, "height": None,
+           "bit_depth": None, "channels": None, "sample_rate": None,
+           "duration_ms": None}
+    if b.startswith(_PNG_SIG) and len(b) >= 29 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        out.update(container="png", width=w, height=h, bit_depth=b[24])
+        return out
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        pos, fmt, data_size = 12, None, None
+        while pos + 8 <= len(b):
+            cid = b[pos:pos + 4]
+            (csize,) = struct.unpack("<I", b[pos + 4:pos + 8])
+            body = b[pos + 8:pos + 8 + csize]
+            if cid == b"fmt " and len(body) >= 16:
+                _, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+                fmt = (ch, rate, bits)
+            elif cid == b"data":
+                data_size = csize
+            pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+        if fmt is not None:
+            ch, rate, bits = fmt
+            out.update(container="wav", channels=ch, sample_rate=rate,
+                       bit_depth=bits)
+            if data_size is not None and ch and rate and bits:
+                n_frames = data_size // (ch * max(bits // 8, 1))
+                out["duration_ms"] = n_frames * 1000 // rate
+        return out
+    return out
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Distributed container probe: mapInPandas over (media_id, payload) ->
+    PROBE_SCHEMA. Real parsing (see probe_payload), bounded memory per Arrow
+    batch, payload column projected before the Python boundary."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                rows.append({"media_id": media_id, **probe_payload(b)})
+            out = pd.DataFrame(rows)
+            for c in ("width", "height", "bit_depth", "channels", "sample_rate"):
+                out[c] = out[c].astype("Int32")
+            out["duration_ms"] = out["duration_ms"].astype("Int64")
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(run, PROBE_SCHEMA)
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Metadata-only projection — payload column pruned at the Parquet scan."""
     return media.select(
@@ -245,6 +361,65 @@ def media_metadata(media: DataFrame) -> DataFrame:
             F.round(F.col("width") / F.col("height"), 4),
         ),
     )
+
+
+def make_png(w: int, h: int, bit_depth: int = 8) -> bytes:
+    """Minimal valid RGB PNG (stdlib-only) — deterministic fixture payloads
+    for the probe path (and any real decoder wired in later)."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x10\x20\x30" * w for _ in range(h))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_wav(rate: int = 8000, channels: int = 1, bits: int = 16,
+             n_frames: int = 400) -> bytes:
+    """Minimal valid PCM WAV (stdlib-only) — deterministic fixture payloads."""
+    import struct
+
+    data = b"\x00\x01" * n_frames * channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+        channels * bits // 8, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_probe_media(spark, n: int = 24) -> DataFrame:
+    """Deterministic media table with REAL container payloads (PNG/WAV plus
+    an unparseable blob every 3rd row) for the probe entry."""
+    rows = []
+    for i in range(n):
+        if i % 3 == 0:
+            payload, kind, mime = make_png(4 + i % 7, 3 + i % 5), "image", "image/png"
+        elif i % 3 == 1:
+            payload, kind, mime = (
+                make_wav(8000 * (1 + i % 3), 1 + i % 2, 16, 100 * (i + 1)),
+                "audio", "audio/wav",
+            )
+        else:
+            payload, kind, mime = bytes([i % 256] * 32), "video", "video/mp4"
+        rows.append((i, kind, mime, bytearray(payload), None, None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:

@@ -64,30 +64,44 @@ def pagerank(
 
     ranks = doc_ids.withColumn("rank", F.lit(1.0 / n_docs))
     base = (1.0 - damping) / n_docs
+    iterates: list[DataFrame] = []  # persisted intermediates of this interval
     for it in range(iterations):
+        # each iteration references `ranks` twice (contrib + dangling); the
+        # lazy persist makes the branches share one materialization inside
+        # the checkpoint job instead of recomputing the whole interval twice
+        ranks = ranks.persist()
+        iterates.append(ranks)
         contrib = (
             e.join(ranks, e.src == ranks.doc_id)
             .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        # dangling mass: rank held by nodes with no out-edges
+        # dangling mass (rank held by nodes with no out-edges) stays IN the
+        # plan as a broadcast 1-row aggregate — no per-iteration collect;
+        # the only actions are the periodic localCheckpoints below
         dangling = (
             ranks.join(out_deg, ranks.doc_id == out_deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
         )
         ranks = (
             doc_ids.join(contrib, doc_ids.doc_id == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "doc_id",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n_docs))
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("_dangling") / F.lit(float(n_docs))
+                    )
                 ).alias("rank"),
             )
         )
-        if (it + 1) % CHECKPOINT_EVERY == 0:
-            ranks = ranks.localCheckpoint()
+        if (it + 1) % CHECKPOINT_EVERY == 0 or it == iterations - 1:
+            ranks = ranks.localCheckpoint()  # one action per interval
+            for df in iterates:
+                df.unpersist()
+            iterates.clear()
     return ranks.select("doc_id", F.col("rank").alias("pagerank"))

@@ -55,16 +55,47 @@ def generate_snippet(content: str, query_terms: list[str], *, do_stem: bool = Tr
     return " .. ".join(sentences[i].strip() for i in chosen)
 
 
+# ANSI constants mirror the reference (ref: src/visualization/ResultStyle.java:4-11)
+ANSI_BOLD = "\033[1m"
+ANSI_BOLD_RESET = "\033[0m"
+ANSI_GREEN = "\033[32m"
+ANSI_GREEN_RESET = "\033[39m"
+
+
+def highlight_terms(text: str, query_terms: list[str], *,
+                    color: str = ANSI_GREEN, reset: str = ANSI_GREEN_RESET) -> str:
+    """Wrap every case-insensitive word-boundary occurrence of each query
+    term in ANSI green (ref: ResultFormatter.java:93-133 formatTitle — the
+    reference regex is ``(?i)\\b<token>\\b`` per matched token)."""
+    for term in sorted(set(t for t in query_terms if t)):
+        pattern = re.compile(r"(?i)\b" + re.escape(term) + r"\b")
+        text = pattern.sub(lambda m: f"{color}{m.group(0)}{reset}", text)
+    return text
+
+
 def format_results(rows, contents: dict[int, str], query_terms: list[str],
-                   *, do_stem: bool = True) -> list[str]:
-    """Plain-text analog of the reference's ANSI formatter
-    (ref: src/visualization/ResultFormatter.java:48-133)."""
+                   *, do_stem: bool = True,
+                   corrections: dict[str, str] | None = None,
+                   ansi: bool = True) -> list[str]:
+    """ANSI formatter matching the reference's shape: bold head line, matched
+    query terms highlighted green in the snippet, applied spelling
+    corrections surfaced to the user
+    (ref: src/visualization/ResultFormatter.java:48-133 + the corrections map
+    carried in querying/results/UnrankedQueryResult.java). ``ansi=False``
+    yields the plain-text form (tests / non-tty sinks)."""
+    effective = [corrections.get(t, t) for t in query_terms] if corrections else query_terms
     out = []
+    if corrections:
+        for orig, fixed in sorted(corrections.items()):
+            out.append(f'corrected: "{orig}" -> "{fixed}"')
     for r in rows:
         doc_id = r["doc_id"]
-        snippet = generate_snippet(contents.get(doc_id, ""), query_terms, do_stem=do_stem)
+        snippet = generate_snippet(contents.get(doc_id, ""), effective, do_stem=do_stem)
         score = r["score"]
         head = f"{doc_id}" + (f"  (score={score:.6f})" if score is not None else "")
+        if ansi:
+            head = f"{ANSI_BOLD}{head}{ANSI_BOLD_RESET}"
+            snippet = highlight_terms(snippet, effective)
         out.append(f"{head}\n{snippet}")
     return out
 

@@ -31,10 +31,22 @@ def read_source(spark: SparkSession, location: str, fmt: str = "parquet") -> Dat
     fmt='xml':     ``location`` is a directory of XML files (reference parity).
     """
     if fmt == "iceberg":
+        from pyspark.errors import AnalysisException
+
         try:
             return spark.read.table(location)
-        except Exception:
-            # no catalog in this sandbox — same-shape parquet fallback
+        except AnalysisException as exc:
+            # no catalog in this sandbox — same-shape parquet fallback.
+            # LOUD, and only for the missing-table/catalog analysis error:
+            # a transient catalog outage must not silently read stale files.
+            import warnings
+
+            warnings.warn(
+                f"iceberg table {location!r} not resolvable "
+                f"({exc.getErrorClass() or exc}); falling back to "
+                f"spark.read.parquet({location!r})",
+                stacklevel=2,
+            )
             return spark.read.parquet(location)
     if fmt == "parquet":
         return spark.read.parquet(location)

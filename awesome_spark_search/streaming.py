@@ -100,20 +100,42 @@ class IncrementalIndexer:
 
     def merged_postings(self, base: DataFrame | None = None) -> DataFrame:
         """Queryable postings = base (batch build) + streamed deltas.
-        Idempotent under replay: duplicates of one (term, doc_id) collapse."""
+        Idempotent under replay AND re-ingest: a document's postings are
+        taken from its LATEST batch only (doc-level replacement — a doc-keyed
+        max-batch aggregate + join, uniform keys). All of a row's fields come
+        from the same record, so tf == len(positions) always holds, and a
+        term dropped by the new version of a doc disappears (independent
+        max(tf)/max(positions) across versions could mix records and corrupt
+        the packed position stream downstream)."""
         delta = self.spark.read.parquet(os.path.join(self.delta_dir, "postings"))
-        parts = delta.select("term_bucket", "term", "doc_id", "tf", "positions")
+        parts = delta.select(
+            "term_bucket", "term", "doc_id",
+            F.col("batch_id").cast("long").alias("batch_id"), "tf", "positions",
+        )
         if base is not None:
             parts = base.select(
-                "term_bucket", "term", "doc_id", "tf", "positions"
+                "term_bucket", "term", "doc_id",
+                F.lit(-1).cast("long").alias("batch_id"),  # base loses to any delta
+                "tf", "positions",
             ).unionByName(parts)
-        return parts.groupBy("term_bucket", "term", "doc_id").agg(
-            F.max("tf").alias("tf"), F.max("positions").alias("positions")
+        latest = parts.groupBy("doc_id").agg(F.max("batch_id").alias("_latest"))
+        return (
+            parts.join(latest, "doc_id")
+            .filter(F.col("batch_id") == F.col("_latest"))
+            # replay of the winning batch duplicates identical rows -> collapse
+            .groupBy("term_bucket", "term", "doc_id")
+            .agg(F.max("tf").alias("tf"), F.max("positions").alias("positions"))
         )
 
     def doc_lens(self) -> DataFrame:
         d = self.spark.read.parquet(os.path.join(self.delta_dir, "doc_lens"))
-        return d.groupBy("doc_id").agg(F.max("doc_len").alias("doc_len"))
+        # latest batch wins (same single-record rule as merged_postings)
+        return (
+            d.groupBy("doc_id")
+            .agg(F.max(F.struct(F.col("batch_id").cast("long").alias("batch_id"),
+                                "doc_len")).alias("_s"))
+            .select("doc_id", F.col("_s.doc_len").alias("doc_len"))
+        )
 
     def compact_deltas(self, out_dir: str) -> None:
         """Fold the append-only delta area into one consolidated base:

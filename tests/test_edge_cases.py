@@ -58,3 +58,97 @@ def test_single_doc_corpus(spark):
     rows = ex.search("lonely", k=5).collect()
     assert [r["doc_id"] for r in rows] == [0]
     assert rows[0]["score"] > 0
+
+
+def test_spell_correction_exact_at_any_vocab_size(spark):
+    """With the driver vocabulary cache disabled (VOCAB_CACHE_MAX=0, the
+    10^8-term-corpus regime), a PARTIALLY matching query must still get its
+    misspelled token corrected via the per-query term_stats existence
+    semi-filter — reference corrects every posting-less token, not only fully
+    empty results (ref: QueryProcessor.java:397-417)."""
+    idx = _build(
+        spark,
+        [
+            (0, "buffer merge stream"),
+            (1, "buffer compact stream"),
+            (2, "merge window stream"),
+        ],
+    )
+    ex = QueryExecutor(spark, idx)
+    ex.VOCAB_CACHE_MAX = 0  # force the no-dictionary path
+    assert ex._get_vocab() is None
+    rows = ex.search("buffer mrege", k=10).collect()
+    assert ex.last_corrections == {"mrege": "merge"}
+    # identical to the well-spelled query on the cached-vocab path
+    ex2 = QueryExecutor(spark, idx)
+    want = ex2.search("buffer merge", k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in rows] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_lsh_exact_dup_prepass_and_bucket_cap(spark):
+    """Boilerplate skew: k byte-identical docs alone would make a k^2 LSH
+    bucket. The exact-dedup pre-pass collapses them to one canonical doc, and
+    the bucket cap drops any oversized bucket (observable via
+    lsh_bucket_sizes, never silent)."""
+    from awesome_spark_search import dedup
+
+    boiler = "copyright header license boilerplate text repeated everywhere"
+    rows = [(i, boiler) for i in range(30)] + [
+        (100, "unique document alpha beta gamma delta content here"),
+        (101, "unique document alpha beta gamma delta content there"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # default guards: identical docs collapse -> no quadratic pair blowup;
+    # the two genuine near-dups still pair
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(docs).collect()
+    }
+    assert (100, 101) in pairs
+    assert not any(a < 30 and b < 30 for a, b in pairs)
+
+    # guards off: the boilerplate bucket exists and is k-sized
+    sizes = dedup.lsh_bucket_sizes(docs)
+    assert sizes.agg(F.max("n_docs")).collect()[0][0] == 30
+
+    # cap without dedup: the oversized bucket emits no pairs and is listed
+    capped = dedup.lsh_candidate_pairs(
+        docs, max_bucket_size=8, dedup_exact=False
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert not any(a < 30 and b < 30 for a, b in got)
+    assert (100, 101) in got
+    dropped = sizes.filter(F.col("n_docs") > 8).count()
+    assert dropped > 0
+
+    # uncapped + no dedup: the quadratic blowup the guards prevent
+    raw = dedup.lsh_candidate_pairs(
+        docs, max_bucket_size=None, dedup_exact=False
+    ).count()
+    assert raw >= 30 * 29 // 2
+
+
+def test_prf_terms_come_from_snippets_not_full_content(spark):
+    """Snippet-parity discriminator: 'zzfiller' dominates the full document
+    text but never shares a sentence with the query term, so the generated
+    snippet (and therefore the PRF expansion, QueryProcessor.java:427-438)
+    must exclude it — the old full-content PRF would rank it first."""
+    from awesome_spark_search import queries as Q
+
+    rows = [
+        (i, "alpha signal beacon here. zzfiller zzfiller zzfiller zzfiller.")
+        for i in range(3)
+    ] + [(3, "beacon signal unrelated.")]
+    src = spark.createDataFrame(rows, "doc_id long, content string")
+    from awesome_spark_search.build import build_index as _bi
+
+    idx = _bi(spark, src, do_stem=False, build_packed=False)
+    ex = QueryExecutor(spark, idx, source_df=src)
+    top = ex.search("alpha", k=3).collect()
+    pq = Q.parse("alpha #3", tokenize=ex._tokenize_query)
+    terms = ex._prf_terms(pq, top, 3)
+    assert "zzfiller" not in terms
+    assert {"beacon", "signal"} <= set(terms)

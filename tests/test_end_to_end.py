@@ -160,23 +160,27 @@ def test_empty_result(executor):
     assert rows == []
 
 
-def test_prf_query(executor, oracle):
+def test_prf_query(executor, oracle, corpus_pdf):
+    """Reference parity: PRF terms come from the GENERATED SNIPPETS of the
+    top docs concatenated in rank order (QueryProcessor.java:427-438), not
+    from full contents. The snippet algorithm itself is pinned by
+    tests/test_snippets_golden.py."""
+    from collections import Counter
+
+    from awesome_spark_search.snippets import generate_snippet
+    from awesome_spark_search.textproc import tokenize_text
+
     rows = executor.search("compress #3", k=10).collect()
     base = oracle.bm25_topk(_terms("compress"), 3)
-    top_ids = {d for d, _ in base}
-    # oracle PRF: count terms in top-3 docs' content
-    import collections
-    counter = collections.Counter()
-    for d in top_ids:
-        for t, _ in oracle.postings.items():
-            pass
-    # recompute from postings: counts of term occurrences within top docs
-    counter = collections.Counter()
-    for term, posting in oracle.postings.items():
-        c = sum(len(poss) for doc, poss in posting.items() if doc in top_ids)
-        if c:
-            counter[term] += c
+    top_ids = [d for d, _ in base]
     base_terms = set(_terms("compress"))
+    contents = dict(zip(corpus_pdf["doc_id"], corpus_pdf["content"]))
+    concatenated = " ".join(
+        generate_snippet(contents[d], sorted(base_terms), do_stem=True)
+        for d in top_ids
+    )
+    _, pairs = tokenize_text(concatenated, do_stem=True)
+    counter = Counter(t for t, _ in pairs)
     ranked = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))
     prf_terms = [t for t, _ in ranked if t not in base_terms][:10]
     weights = {t: 0.25 for t in prf_terms}

@@ -69,3 +69,102 @@ def test_media_metadata_aspect_ratio(spark):
     for r in rows:
         if r["height"]:
             assert abs(r["aspect_ratio"] - round(r["width"] / r["height"], 4)) < 1e-9
+
+
+# ---- decoder contract (stub vs strict vs injected) ------------------------
+
+
+def test_strict_mode_raises_decoder_unavailable(spark):
+    """Production contract: decoder='strict' must fail LOUDLY at plan build
+    (never silently fake-decode) in every kernel."""
+    import pytest
+
+    from awesome_spark_search.multimodal import (
+        DecoderUnavailable,
+        resample_audio,
+    )
+
+    media = synth_media(spark, 6)
+    for kernel in (
+        lambda: extract_features(media, decoder="strict"),
+        lambda: resize_images(media, 8, 8, decoder="strict"),
+        lambda: sample_frames(media, decoder="strict"),
+        lambda: resample_audio(media, decoder="strict"),
+    ):
+        with pytest.raises(DecoderUnavailable):
+            kernel()
+
+
+def test_injected_decoder_flows_through_all_four_kernels(spark):
+    """A user-supplied decoder (the PIL/torchaudio/ffmpeg adapter slot) must
+    reach every kernel's inner loop and determine its output."""
+    import numpy as np
+
+    from awesome_spark_search.multimodal import FEATURE_DIM, resample_audio
+
+    media = synth_media(spark, 12)
+
+    feat = extract_features(
+        media, decoder=lambda b, kind: np.full(FEATURE_DIM, 0.25, dtype=np.float32)
+    ).collect()
+    assert all(r["feature"] == [0.25] * FEATURE_DIM for r in feat)
+
+    rs = resize_images(
+        media, 4, 2, decoder=lambda b, w, h: b"\x07" * (w * h)
+    ).collect()
+    assert rs and all(bytes(r["payload"]) == b"\x07" * 8 for r in rs)
+
+    fr = sample_frames(
+        media, decoder=lambda b, ts: ts.to_bytes(4, "big")
+    ).collect()
+    assert fr and all(
+        bytes(r["frame_payload"]) == r["ts_ms"].to_bytes(4, "big") for r in fr
+    )
+
+    au = resample_audio(
+        media, decoder=lambda b, rate, mx: np.full(5, 3, dtype=np.int16)
+    ).collect()
+    assert au and all(r["n_samples"] == 5 and abs(r["rms"] - 3.0) < 1e-6 for r in au)
+
+
+def test_bad_decoder_value_rejected(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        extract_features(synth_media(spark, 2), decoder="nope")
+
+
+# ---- real stdlib container probe ------------------------------------------
+
+
+def test_probe_payload_parses_real_png_and_wav():
+    from awesome_spark_search.multimodal import probe_payload
+    from awesome_spark_search.multimodal import make_png as _tiny_png, make_wav as _tiny_wav
+
+    png = probe_payload(_tiny_png(w=17, h=9, bit_depth=8))
+    assert (png["container"], png["width"], png["height"], png["bit_depth"]) == (
+        "png", 17, 9, 8,
+    )
+    wav = probe_payload(_tiny_wav(rate=8000, channels=2, bits=16, n_frames=4000))
+    assert (wav["container"], wav["channels"], wav["sample_rate"],
+            wav["bit_depth"], wav["duration_ms"]) == ("wav", 2, 8000, 16, 500)
+    assert probe_payload(b"garbage bytes")["container"] == "unknown"
+
+
+def test_probe_media_distributed(spark):
+    from awesome_spark_search.multimodal import MEDIA_SCHEMA, probe_media
+    from awesome_spark_search.multimodal import make_png as _tiny_png, make_wav as _tiny_wav
+
+    rows = [
+        (0, "image", "image/png", bytearray(_tiny_png(5, 4)), None, None, None),
+        (1, "audio", "audio/wav", bytearray(_tiny_wav(16000, 1, 16, 16000)),
+         None, None, None),
+        (2, "video", "video/mp4", bytearray(b"\x00\x01\x02"), None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in probe_media(media).collect()}
+    assert (got[0]["container"], got[0]["width"], got[0]["height"]) == ("png", 5, 4)
+    assert (got[1]["container"], got[1]["sample_rate"], got[1]["duration_ms"]) == (
+        "wav", 16000, 1000,
+    )
+    assert got[2]["container"] == "unknown"

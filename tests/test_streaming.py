@@ -288,3 +288,32 @@ def test_running_user_totals_state_across_batches(spark, tmp_path):
     # user 1's state must include batch-1 events (2 events, 3.0) + batch 2
     assert rows[1] == (3, 7.0)
     assert rows[3] == (1, 7.0)
+
+
+def test_reingest_replaces_doc_consistently(spark, tmp_path):
+    """A doc re-ingested with CHANGED content takes its postings wholly from
+    the latest batch: tf == len(positions) on every row (no mixing of
+    versions), and a term dropped by the new version disappears."""
+    delta_dir = str(tmp_path / "delta_reingest")
+    ingest = IncrementalIndexer(spark, delta_dir, do_stem=False)
+    v1 = spark.createDataFrame(
+        [(0, "orange apple apple"), (1, "pear pear")],
+        "doc_id long, content string",
+    )
+    v2 = spark.createDataFrame(
+        [(0, "apple banana")], "doc_id long, content string"
+    )
+    ingest.foreach_batch(v1, 0)
+    ingest.foreach_batch(v2, 1)  # doc 0 re-ingested, 'orange' dropped
+    rows = ingest.merged_postings().collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["term"]] = (
+            r["tf"], list(r["positions"])
+        )
+        assert r["tf"] == len(r["positions"]), rows
+    assert by_doc[0] == {"apple": (1, [0]), "banana": (1, [1])}
+    assert by_doc[1] == {"pear": (2, [0, 1])}
+    # doc lens follow the latest version too
+    lens = {r["doc_id"]: r["doc_len"] for r in ingest.doc_lens().collect()}
+    assert lens == {0: 2, 1: 2}
