@@ -77,6 +77,10 @@ PACKED_SCHEMA = T.StructType(
         T.StructField("term", T.StringType(), False),
         T.StructField("doc_shard", T.LongType(), False),
         T.StructField("n", T.IntegerType(), False),
+        # per-group collection frequency (sum of tfs): term_stats aggregates
+        # straight off the packed table — the pack shuffle already grouped by
+        # term, so the separate full-postings term_stats pass is skipped
+        T.StructField("cf", T.LongType(), False),
         T.StructField("doc_ids_vb", T.BinaryType(), False),
         T.StructField("tfs_vb", T.BinaryType(), False),
         # doc lengths ride inside the blob (aligned with doc_ids) so the
@@ -110,6 +114,7 @@ def _pack_many(pdf: pd.DataFrame, avgdl: float, n_buckets: int) -> pd.DataFrame:
                 "term": pd.Series(dtype="object"),
                 "doc_shard": pd.Series(dtype="int64"),
                 "n": pd.Series(dtype="int32"),
+                "cf": pd.Series(dtype="int64"),
                 "doc_ids_vb": pd.Series(dtype="object"),
                 "tfs_vb": pd.Series(dtype="object"),
                 "dls_vb": pd.Series(dtype="object"),
@@ -154,6 +159,7 @@ def _pack_many(pdf: pd.DataFrame, avgdl: float, n_buckets: int) -> pd.DataFrame:
         cols["term"].append(terms[s])
         cols["doc_shard"].append(int(shards[s]))
         cols["n"].append(k)
+        cols["cf"].append(int(t.sum()))
         cols["doc_ids_vb"].append(codec.delta_vbyte_encode(ids))
         cols["tfs_vb"].append(codec.vbyte_encode(t.astype(np.uint64)))
         cols["dls_vb"].append(codec.vbyte_encode(dls[s:e].astype(np.uint64)))
@@ -216,6 +222,7 @@ def build_index(
     salt: int = DEFAULT_SALT,
     build_packed: bool = True,
     cache: bool = True,
+    cache_postings: bool = True,
 ) -> Index:
     """Build the full index from a source table.
 
@@ -240,7 +247,11 @@ def build_index(
         "postings", _postings,
         partition_by=["term_bucket"], sort_within=["term", "doc_id"],
     )
-    if cache and checkpoint_dir is None:
+    if cache and cache_postings and checkpoint_dir is None:
+        # cache_postings=False skips the columnar cache-write of the long
+        # posting table (the single biggest memory-bandwidth item in the
+        # build) — right when serving runs off the packed index, which is
+        # cached regardless
         postings = postings.persist()
 
     # doc_map never needs Python: sha256 and the stopword-inclusive token
@@ -254,24 +265,6 @@ def build_index(
             F.sha2(F.col("content"), 256).alias("content_sha256"),
             doc_len_col("content").alias("doc_len"),
         ),
-    )
-
-    def _term_stats():
-        # two-level salted aggregation: partials on (term, salt) bound any
-        # single reducer's input even for a term present in most documents
-        partial = (
-            postings.groupBy("term", F.pmod(F.col("doc_id"), F.lit(salt)).alias("_salt"))
-            .agg(F.count(F.lit(1)).alias("pdf"), F.sum("tf").alias("pcf"))
-        )
-        return (
-            partial.groupBy("term")
-            .agg(F.sum("pdf").alias("df"), F.sum("pcf").alias("cf"))
-            .withColumn("term_bucket", term_bucket_col(F.col("term"), n_term_buckets))
-        )
-
-    term_stats = runner.run(
-        "term_stats", _term_stats,
-        partition_by=["term_bucket"], sort_within=["term"],
     )
 
     def _stats_df():
@@ -316,6 +309,39 @@ def build_index(
             # without this, every packed-path query replays the whole
             # repartition+sort+pack pipeline (minutes at 10^6 docs)
             packed = packed.persist()
+
+    if packed is not None:
+        # the pack shuffle already grouped every posting by term: df/cf are a
+        # cheap rollup of the (term, doc_shard) group rows — one aggregation
+        # over #groups rows instead of a second full pass over #postings
+        def _term_stats():
+            return (
+                packed.groupBy("term")
+                .agg(
+                    F.sum("n").cast("long").alias("df"),
+                    F.sum("cf").alias("cf"),
+                )
+                .withColumn("term_bucket", term_bucket_col(F.col("term"), n_term_buckets))
+            )
+    else:
+        # no packed table: two-level salted aggregation — partials on
+        # (term, salt) bound any single reducer's input even for a term
+        # present in most documents
+        def _term_stats():
+            partial = (
+                postings.groupBy("term", F.pmod(F.col("doc_id"), F.lit(salt)).alias("_salt"))
+                .agg(F.count(F.lit(1)).alias("pdf"), F.sum("tf").alias("pcf"))
+            )
+            return (
+                partial.groupBy("term")
+                .agg(F.sum("pdf").alias("df"), F.sum("pcf").alias("cf"))
+                .withColumn("term_bucket", term_bucket_col(F.col("term"), n_term_buckets))
+            )
+
+    term_stats = runner.run(
+        "term_stats", _term_stats,
+        partition_by=["term_bucket"], sort_within=["term"],
+    )
 
     if cache and checkpoint_dir is None:
         doc_map = doc_map.persist()

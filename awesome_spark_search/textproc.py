@@ -230,12 +230,17 @@ def doc_len_col(content_col="content"):
     """Stopword-inclusive token count as a pure-JVM codegen expression —
     exactly len([t for t in re.findall('[a-zA-Z_-]+', text) if len(t) >= 2])
     (the Python tokenizer's pre-stopword length; lowercase preserves length).
-    """
-    return F.size(
-        F.filter(
-            F.expr(f"regexp_extract_all(coalesce({content_col}, ''), '[a-zA-Z_-]+', 0)"),
-            lambda t: F.length(t) >= 2,
-        )
+
+    ``regexp_count`` with a greedy ``{2,}`` quantifier: each maximal
+    token-charset run of length >= 2 is one non-overlapping match, runs of
+    length 1 match nothing — identical to extract_all + length filter but
+    with NO per-row array materialization (this sits on the narrow doc_map
+    scan over every byte of the corpus). Parity with the Python tokenizer is
+    pinned by tests/test_textproc.py::test_jvm_doc_len_matches_python."""
+    return F.regexp_count(
+        F.coalesce(F.col(content_col) if isinstance(content_col, str) else content_col,
+                   F.lit("")),
+        F.lit("[a-zA-Z_-]{2,}"),
     ).cast("long")
 
 

@@ -78,6 +78,9 @@ def main(argv=None) -> int:
             "query": q,
             "k": args.k,
             "wall_ms": round((time.perf_counter() - t0) * 1000, 1),
+            # applied spelling corrections, surfaced like the reference's
+            # result-object corrections map (UnrankedQueryResult.java)
+            "corrections": {} if args.wand else ex.last_corrections,
             "results": [
                 {"doc_id": r["doc_id"], "score": r["score"]} for r in rows
             ],
