@@ -7,9 +7,11 @@ spill runs, external k-way merge by term — *is* Spark's map/combine/shuffle/
 reduce. We express it declaratively and let Catalyst/Tungsten own spilling and
 merging; what stays explicit is what the optimizer cannot infer:
 
-* **skew**: hot terms (``import``/``def``-class tokens hit >30% of docs) are
-  aggregated two-level — ``groupBy(term, salt)`` partials then a final
-  ``groupBy(term)`` — so no single reducer materializes an unbounded state.
+* **skew**: hot terms (``import``/``def``-class tokens hit >30% of docs)
+  never hit an unbounded reducer: term_stats rolls up from the packed
+  (term, doc_shard) group rows (bounded by construction), and the unpacked
+  fallback aggregates two-level — ``groupBy(term, salt)`` partials then a
+  final ``groupBy(term)``.
 * **bounded posting rows**: packed postings are keyed ``(term, doc_shard)``
   where ``doc_shard = doc_id // shard_size``. A term over 10^12 docs never
   produces one giant array row; every row is <= shard_size entries and the
@@ -266,6 +268,11 @@ def build_index(
             doc_len_col("content").alias("doc_len"),
         ),
     )
+    if cache and checkpoint_dir is None:
+        # persisted BEFORE the stats action below: that one collect both
+        # fills the doc_map cache and aggregates it — no separate doc_len
+        # scan over the content column ever runs
+        doc_map = doc_map.persist()
 
     def _stats_df():
         return doc_map.agg(
@@ -344,7 +351,6 @@ def build_index(
     )
 
     if cache and checkpoint_dir is None:
-        doc_map = doc_map.persist()
         term_stats = term_stats.persist()
 
     return Index(

@@ -60,10 +60,17 @@ def batch_doc_lens(source_df: DataFrame, *, do_stem: bool) -> DataFrame:
 class IncrementalIndexer:
     """Streaming document ingestion -> append-only posting deltas.
 
-    Docs are immutable rows (new doc_ids only), so per-batch partials never
-    overlap on (term, doc_id) and the merged view needs no combine beyond
-    concatenation; ``merged_postings`` still groups defensively so replayed
-    batches (at-least-once sinks) collapse idempotently via max(tf).
+    Mutation model (everything is append-only on disk; semantics come from
+    the merge):
+
+    * new doc_id        -> indexed from its batch's partial
+    * re-ingested doc   -> wholly REPLACED by its latest batch
+      (``merged_postings`` keeps only the max-batch rows per doc)
+    * deleted doc       -> ``delete_docs`` appends a tombstone; the doc
+      disappears from every merged view until a LATER batch re-ingests it
+      (takedown/right-to-be-forgotten flow for a training corpus)
+    * replayed batch    -> idempotent (at-least-once sinks collapse to the
+      same rows)
     """
 
     def __init__(self, spark: SparkSession, delta_dir: str, *, do_stem: bool = True,
@@ -98,6 +105,27 @@ class IncrementalIndexer:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def delete_docs(self, doc_ids, batch_id: int) -> None:
+        """Append tombstones for ``doc_ids``. ``batch_id`` orders the delete
+        against ingests: the doc is gone from merged views unless a LATER
+        batch re-ingests it. Append-only like everything else — no rewrite of
+        existing delta files; the merge applies the semantics."""
+        df = self.spark.createDataFrame(
+            [(int(d), int(batch_id)) for d in doc_ids], "doc_id long, batch_id long"
+        )
+        df.write.mode("append").parquet(os.path.join(self.delta_dir, "tombstones"))
+
+    def _tombstone_max(self) -> DataFrame | None:
+        """(doc_id, _tb = latest tombstone batch), or None if no deletes."""
+        path = os.path.join(self.delta_dir, "tombstones")
+        if not os.path.isdir(path):
+            return None
+        return (
+            self.spark.read.parquet(path)
+            .groupBy("doc_id")
+            .agg(F.max("batch_id").alias("_tb"))
+        )
+
     def merged_postings(self, base: DataFrame | None = None) -> DataFrame:
         """Queryable postings = base (batch build) + streamed deltas.
         Idempotent under replay AND re-ingest: a document's postings are
@@ -119,6 +147,15 @@ class IncrementalIndexer:
                 "tf", "positions",
             ).unionByName(parts)
         latest = parts.groupBy("doc_id").agg(F.max("batch_id").alias("_latest"))
+        tomb = self._tombstone_max()
+        if tomb is not None:
+            # a doc survives only if something was ingested AFTER its last
+            # tombstone (doc-keyed join, uniform keys)
+            latest = (
+                latest.join(tomb, "doc_id", "left")
+                .filter(F.col("_tb").isNull() | (F.col("_tb") < F.col("_latest")))
+                .select("doc_id", "_latest")
+            )
         return (
             parts.join(latest, "doc_id")
             .filter(F.col("batch_id") == F.col("_latest"))
@@ -130,12 +167,23 @@ class IncrementalIndexer:
     def doc_lens(self) -> DataFrame:
         d = self.spark.read.parquet(os.path.join(self.delta_dir, "doc_lens"))
         # latest batch wins (same single-record rule as merged_postings)
-        return (
+        latest = (
             d.groupBy("doc_id")
             .agg(F.max(F.struct(F.col("batch_id").cast("long").alias("batch_id"),
                                 "doc_len")).alias("_s"))
-            .select("doc_id", F.col("_s.doc_len").alias("doc_len"))
+            .select(
+                "doc_id",
+                F.col("_s.batch_id").alias("_b"),
+                F.col("_s.doc_len").alias("doc_len"),
+            )
         )
+        tomb = self._tombstone_max()
+        if tomb is not None:
+            latest = (
+                latest.join(tomb, "doc_id", "left")
+                .filter(F.col("_tb").isNull() | (F.col("_tb") < F.col("_b")))
+            )
+        return latest.select("doc_id", "doc_len")
 
     def compact_deltas(self, out_dir: str) -> None:
         """Fold the append-only delta area into one consolidated base:

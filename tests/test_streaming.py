@@ -317,3 +317,41 @@ def test_reingest_replaces_doc_consistently(spark, tmp_path):
     # doc lens follow the latest version too
     lens = {r["doc_id"]: r["doc_len"] for r in ingest.doc_lens().collect()}
     assert lens == {0: 2, 1: 2}
+
+
+def test_tombstone_delete_reingest_and_query(spark, tmp_path):
+    """Takedown flow: delete_docs removes a doc from every merged view; a
+    LATER re-ingest resurrects it (with the new content only); a later
+    delete wins again; the queryable index respects all of it."""
+    from awesome_spark_search.executor import QueryExecutor
+
+    delta_dir = str(tmp_path / "delta_tomb")
+    ingest = IncrementalIndexer(spark, delta_dir, do_stem=False)
+    ingest.foreach_batch(
+        spark.createDataFrame(
+            [(0, "apple pie"), (1, "banana bread")], "doc_id long, content string"
+        ),
+        0,
+    )
+    ingest.delete_docs([0], batch_id=1)
+    assert {
+        r["doc_id"] for r in ingest.merged_postings().select("doc_id").distinct().collect()
+    } == {1}
+    assert {r["doc_id"] for r in ingest.doc_lens().collect()} == {1}
+
+    # re-ingest after the delete resurrects with new content only
+    ingest.foreach_batch(
+        spark.createDataFrame([(0, "apple tart")], "doc_id long, content string"), 2
+    )
+    terms0 = {
+        r["term"]
+        for r in ingest.merged_postings().filter(F.col("doc_id") == 0).collect()
+    }
+    assert terms0 == {"apple", "tart"}
+
+    # a delete after the re-ingest wins again, and queries see it
+    ingest.delete_docs([0], batch_id=3)
+    idx = ingest.to_index()
+    ex = QueryExecutor(spark, idx)
+    assert [r["doc_id"] for r in ex.search("banana", k=5).collect()] == [1]
+    assert ex.search("apple", k=5).collect() == []
