@@ -163,26 +163,24 @@ def lsh_candidate_pairs(
     if dedup_exact:
         docs = dedup_exact_canonical(docs, text_col)
     banded = _banded(minhash_signatures(docs, text_col, n_perms), n_perms, bands)
+    # ONE shuffle: gather each bucket's members into an array (memory O(k)
+    # per bucket, never O(k^2)), apply the size guard on the array, then
+    # generate the pairs JVM-side with array combinators — no bucket-count
+    # pre-join and no banded self-join
+    buckets = banded.groupBy("band", "bucket").agg(
+        F.collect_list("doc_id").alias("_ds")
+    ).filter(F.size("_ds") >= 2)
     if max_bucket_size is not None:
-        ok = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") <= max_bucket_size)
-            .select("band", "bucket")
-        )
-        banded = banded.join(ok, ["band", "bucket"], "left_semi")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
+        buckets = buckets.filter(F.size("_ds") <= max_bucket_size)
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(_ds, a -> transform(_ds, "
+                "b -> struct(a as doc_a, b as doc_b)))), p -> p.doc_a < p.doc_b)"
+            )
+        ).alias("p")
     )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def _banded(sig: DataFrame, n_perms: int, bands: int) -> DataFrame:
