@@ -205,8 +205,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
     q["spelling_corrected_search"] = lambda spark, sf: _search(spark, sf, "mrege")
-    # two-pass pseudo-relevance feedback (ref QueryProcessor.java:120-127);
-    # intentionally no SQL oracle (driver records rows-only)
+    # two-pass pseudo-relevance feedback (ref QueryProcessor.java:120-127),
+    # feedback terms from the generated snippets of the top-3 docs; oracled:
+    # documents.text carries no sentence punctuation, so each snippet is the
+    # whole document and the PRF expansion is exactly SQL-expressible (the
+    # sentence set-cover itself is pinned by tests/test_snippets_golden.py
+    # and the discriminating fixture in tests/test_edge_cases.py)
     q["prf_search"] = lambda spark, sf: _search(spark, sf, "merge batch #3")
     q["wand_keyword"] = lambda spark, sf: (
         (lambda ex: __import__("awesome_spark_search.wand", fromlist=["x"])
@@ -246,10 +250,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _executor(spark, sf)
         )
     )
-    # snippet_top5 / ndcg_at_10: intentionally no SQL oracle (rows-only) —
-    # sentence split + greedy set-cover and the gain curve are pinned by
-    # golden unit tests (tests/test_snippets_golden.py) instead
+    # snippet_top5: oracled as an integration check — documents.text has no
+    # sentence punctuation, so each snippet is exactly trim(text) of the
+    # right top-5 doc; the sentence split + greedy set-cover ALGORITHM is
+    # pinned by tests/test_snippets_golden.py (multi-sentence goldens)
     q["snippet_top5"] = lambda spark, sf: _snippet_top5(spark, sf)
+    # ndcg_at_10: oracled — closed-form gain/DCG over the BM25 top-10 vs the
+    # id-ascending pseudo-gold (ref: src/evaluation/NdcgCalculator.java:22-62)
     q["ndcg_at_10"] = lambda spark, sf: _ndcg_entry(spark, sf)
     q["linkto"] = lambda spark, sf: (
         _pagerank.citations_of(_citation_edges(spark, sf), 42)
@@ -449,14 +456,16 @@ def _snippet_top5(spark, sf) -> DataFrame:
 
 
 def _ndcg_entry(spark, sf) -> DataFrame:
+    import math
+
     from awesome_spark_search.snippets import ndcg
 
     ex = _executor(spark, sf)
     results = [r["doc_id"] for r in ex.search("merge batch table", k=10).collect()]
     gold = sorted(results)  # deterministic pseudo-gold: id-ascending ideal
-    return spark.createDataFrame(
-        [(round(ndcg(gold, results, 10), 6),)], "ndcg double"
-    )
+    # floor(x*1e6+0.5)/1e6 on BOTH sides (round() half-ties differ by engine)
+    v = math.floor(ndcg(gold, results, 10) * 1e6 + 0.5) / 1e6
+    return spark.createDataFrame([(v,)], "ndcg double")
 
 
 def _query_vec(spark, sf) -> list[float]:
@@ -566,6 +575,45 @@ ORDER BY damerau_levenshtein(term, 'mrege') ASC, cf DESC, term ASC
 LIMIT 1
 """
     o["spelling_corrected_search"] = _bm25_sql(_const_terms(["merge"]))
+    # PRF: pass 1 = BM25 top-3 for (merge, batch); snippets == whole docs on
+    # this corpus (no sentence punctuation in documents.text); expansion = 10
+    # most frequent non-query tokens of those docs (tie: term ASC) at weight
+    # 0.25; pass 2 = weighted BM25 over base+expansion
+    o["prf_search"] = f"""
+WITH {_TOK_CTE},
+qt0 AS ({_const_terms(["merge", "batch"])}),
+m0 AS (
+  SELECT tf.doc_id, tf.term, tf.tf, q.weight FROM tf JOIN qt0 q USING (term)
+),
+s0 AS (
+  SELECT m.doc_id,
+         sum(m.weight * ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
+             * m.tf / (m.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / s.avgdl))) AS raw
+  FROM m0 m JOIN dfcf d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY m.doc_id
+),
+top3 AS (SELECT doc_id FROM s0 ORDER BY raw DESC, doc_id ASC LIMIT 3),
+prf_counts AS (
+  SELECT t.term, count(*)::BIGINT AS c
+  FROM terms t JOIN top3 USING (doc_id)
+  WHERE t.term NOT IN ('merge', 'batch')
+  GROUP BY 1
+),
+prf AS (SELECT term, 0.25 AS weight FROM prf_counts ORDER BY c DESC, term ASC LIMIT 10),
+qt AS (SELECT term, weight FROM qt0 UNION ALL SELECT term, weight FROM prf),
+matched AS (
+  SELECT tf.doc_id, tf.term, tf.tf, q.weight FROM tf JOIN qt q USING (term)
+),
+scored AS (
+  SELECT m.doc_id,
+         sum(m.weight * ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
+             * m.tf / (m.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / s.avgdl))) AS raw
+  FROM matched m JOIN dfcf d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY m.doc_id
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 10
+"""
     # WAND must be rank- AND score-identical to the exhaustive BM25 plan
     o["wand_keyword"] = _bm25_sql(_const_terms(["merge", "batch", "table"]))
     # packed-index positional phrase == the DataFrame phrase plan's oracle
@@ -659,6 +707,56 @@ SELECT t.doc_id,
        'docs/doc_' || d.doc_id || '.txt' AS path,
        d.lang
 FROM top t JOIN documents d USING (doc_id)
+"""
+    o["snippet_top5"] = f"""
+WITH {_TOK_CTE},
+qt AS ({_const_terms(["merge", "batch"])}),
+matched AS (
+  SELECT tf.doc_id, tf.term, tf.tf, qt.weight FROM tf JOIN qt USING (term)
+),
+scored AS (
+  SELECT m.doc_id,
+         sum(m.weight * ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
+             * m.tf / (m.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / s.avgdl))) AS raw
+  FROM matched m JOIN dfcf d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY m.doc_id
+),
+top5 AS (SELECT doc_id FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 5)
+SELECT t.doc_id, trim(d.text) AS snippet
+FROM top5 t JOIN documents d USING (doc_id)
+"""
+    # NDCG@10 closed-form: gain(r) = 1 + floor(10 * 0.5^(0.1 r));
+    # DCG = g1 + sum_{i>=2} g_i/log2(i); gold = result ids ascending
+    o["ndcg_at_10"] = f"""
+WITH {_TOK_CTE},
+qt AS ({_const_terms(["merge", "batch", "table"])}),
+matched AS (
+  SELECT tf.doc_id, tf.term, tf.tf, qt.weight FROM tf JOIN qt USING (term)
+),
+scored AS (
+  SELECT m.doc_id,
+         sum(m.weight * ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
+             * m.tf / (m.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / s.avgdl))) AS raw
+  FROM matched m JOIN dfcf d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY m.doc_id
+),
+res AS (
+  SELECT doc_id, row_number() OVER (ORDER BY raw DESC, doc_id ASC) AS i
+  FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 10
+),
+gold AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id ASC) AS g FROM res),
+gains AS (
+  SELECT r.i, 1 + floor(10 * power(0.5, 0.1 * g.g)) AS gain
+  FROM res r JOIN gold g USING (doc_id)
+),
+dcg AS (
+  SELECT sum(CASE WHEN i = 1 THEN gain ELSE gain / log2(i) END) AS v FROM gains
+),
+idcg AS (
+  SELECT sum(CASE WHEN g = 1 THEN gain ELSE gain / log2(g) END) AS v
+  FROM (SELECT g, 1 + floor(10 * power(0.5, 0.1 * g)) AS gain FROM gold)
+)
+SELECT floor((dcg.v / idcg.v) * 1e6 + 0.5) / 1e6 AS ndcg FROM dcg, idcg
 """
     o["linkto"] = """
 WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
