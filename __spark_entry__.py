@@ -819,21 +819,28 @@ SELECT sha256(text) AS content_sha256, count(*)::BIGINT AS dup_count,
        min(doc_id) AS canonical_doc_id
 FROM all_docs GROUP BY 1 HAVING count(*) > 1
 """
-    shingle_cte = """
-dtoks AS (
-  SELECT doc_id,
-         list_filter(regexp_extract_all(lower(text), '[a-z-_]+'),
+    # one parameterized CTE chain for every MinHash-family oracle — the
+    # canonical (exact-dup-collapsed) variant feeds the LSH oracles so they
+    # mirror the engine's scale guards; the cap interpolates from
+    # dedup.MAX_BUCKET_SIZE (single source of truth)
+    def _minhash_chain(canonical: bool) -> str:
+        pre, src = "", "documents d"
+        if canonical:
+            pre = ("canon AS (SELECT min(doc_id) AS doc_id FROM documents "
+                   "GROUP BY sha256(text)),\n")
+            src = "documents d JOIN canon USING (doc_id)"
+        return pre + f"""dtoks AS (
+  SELECT d.doc_id,
+         list_filter(regexp_extract_all(lower(d.text), '[a-z-_]+'),
                      t -> length(t) >= 2) AS l
-  FROM documents
+  FROM {src}
 ),
 shingle AS (
   SELECT DISTINCT doc_id,
          ('0x' || substr(md5(array_to_string(l[i:i+2], ' ')), 1, 8))::BIGINT AS shingle_hash
   FROM dtoks, unnest(range(1, len(l) - 1)) AS t(i)
   WHERE len(l) >= 3
-)
-"""
-    minhash_cte = shingle_cte + """,
+),
 perms AS (SELECT unnest(range(0, 8)) AS p),
 hashed AS (
   SELECT s.doc_id, p.p,
@@ -843,67 +850,36 @@ hashed AS (
 ),
 sig AS (
   SELECT doc_id, p, min(h) AS m FROM hashed GROUP BY 1, 2
-),
+)"""
+
+    o["minhash_signatures"] = f"""
+WITH {_minhash_chain(False)},
 sigarr AS (
   SELECT doc_id, array_to_string(list(m ORDER BY p), ',') AS sig_csv
   FROM sig GROUP BY doc_id
 )
+SELECT doc_id, sig_csv FROM sigarr
 """
-    o["minhash_signatures"] = f"WITH {minhash_cte} SELECT doc_id, sig_csv FROM sigarr"
-    # LSH mirrors the engine's scale guards exactly: byte-identical docs
-    # collapse to their min-doc_id canonical BEFORE banding (exact dups are
-    # reported by exact_dedup, not LSH), and buckets larger than
-    # MAX_BUCKET_SIZE emit no pairs
-    c_shingle_cte = """
-canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
-dtoks AS (
-  SELECT d.doc_id,
-         list_filter(regexp_extract_all(lower(d.text), '[a-z-_]+'),
-                     t -> length(t) >= 2) AS l
-  FROM documents d JOIN canon USING (doc_id)
-),
-shingle AS (
-  SELECT DISTINCT doc_id,
-         ('0x' || substr(md5(array_to_string(l[i:i+2], ' ')), 1, 8))::BIGINT AS shingle_hash
-  FROM dtoks, unnest(range(1, len(l) - 1)) AS t(i)
-  WHERE len(l) >= 3
-)
-"""
-    bands_cte = c_shingle_cte + """,
-perms AS (SELECT unnest(range(0, 8)) AS p),
-hashed AS (
-  SELECT s.doc_id, p.p,
-         ('0x' || substr(md5('g' || (p.p // 4) || '|' || s.shingle_hash),
-                         1 + 8 * (p.p % 4), 8))::BIGINT AS h
-  FROM shingle s CROSS JOIN perms p
-),
-sig AS (
-  SELECT doc_id, p, min(h) AS m FROM hashed GROUP BY 1, 2
-),
+    bands_cte = _minhash_chain(True) + f""",
 bands AS (
   SELECT doc_id, (p // 2) AS band,
          md5(array_to_string(list(m ORDER BY p), ',')) AS bucket
   FROM sig GROUP BY doc_id, (p // 2)
 ),
-bsize AS (SELECT band, bucket, count(*) AS c FROM bands GROUP BY 1, 2)
-"""
-    o["lsh_candidate_pairs"] = f"""
-WITH {bands_cte}
-SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-FROM bands l JOIN bands r
-  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
-JOIN bsize ON bsize.band = l.band AND bsize.bucket = l.bucket
-WHERE bsize.c <= 64
-"""
-    o["ngram_jaccard"] = f"""
-WITH {bands_cte},
+bsize AS (SELECT band, bucket, count(*) AS c FROM bands GROUP BY 1, 2),
 pairs AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
   FROM bands l JOIN bands r
     ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
   JOIN bsize ON bsize.band = l.band AND bsize.bucket = l.bucket
-  WHERE bsize.c <= 64
-),
+  WHERE bsize.c <= {_dedup.MAX_BUCKET_SIZE}
+)"""
+    o["lsh_candidate_pairs"] = f"""
+WITH {bands_cte}
+SELECT doc_a, doc_b FROM pairs
+"""
+    o["ngram_jaccard"] = f"""
+WITH {bands_cte},
 sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM shingle GROUP BY 1),
 inter AS (
   SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS i

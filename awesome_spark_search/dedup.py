@@ -132,9 +132,15 @@ def lsh_bucket_sizes(
     text_col: str = "text",
     n_perms: int = MINHASH_PERMS,
     bands: int = LSH_BANDS,
+    dedup_exact: bool = True,
 ) -> DataFrame:
     """(band, bucket, n_docs) — the skew diagnostic for the bucket cap: run
-    with a threshold filter to see which buckets ``max_bucket_size`` drops."""
+    with a threshold filter to see which buckets ``max_bucket_size`` drops.
+    ``dedup_exact`` must match the ``lsh_candidate_pairs`` call being
+    diagnosed (default matches default) so the counts describe the buckets
+    the pair stage actually sees."""
+    if dedup_exact:
+        docs = dedup_exact_canonical(docs, text_col)
     banded = _banded(minhash_signatures(docs, text_col, n_perms), n_perms, bands)
     return banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n_docs"))
 
@@ -153,7 +159,11 @@ def lsh_candidate_pairs(
     Scale guards (both on by default, no-ops on a corpus without heavy dups):
 
     * ``dedup_exact``: collapse byte-identical docs to their min-doc_id
-      canonical before hashing (see ``dedup_exact_canonical``).
+      canonical before hashing (see ``dedup_exact_canonical``). Pairs are
+      then between CANONICAL representatives only: a consumer removing
+      near-dups must expand each canonical doc_id through its
+      ``exact_duplicates`` group (a near-dup of the canonical is a near-dup
+      of every byte-identical twin).
     * ``max_bucket_size``: buckets larger than this emit NO pairs — a bucket
       of k near-identical docs otherwise goes k^2 (the 100 TB job-killer).
       Dropped buckets are observable, not silent: ``lsh_bucket_sizes``
@@ -163,15 +173,28 @@ def lsh_candidate_pairs(
     if dedup_exact:
         docs = dedup_exact_canonical(docs, text_col)
     banded = _banded(minhash_signatures(docs, text_col, n_perms), n_perms, bands)
-    # ONE shuffle: gather each bucket's members into an array (memory O(k)
-    # per bucket, never O(k^2)), apply the size guard on the array, then
-    # generate the pairs JVM-side with array combinators — no bucket-count
-    # pre-join and no banded self-join
+    if max_bucket_size is None:
+        # explicit opt-out of the cap: keep the streamed self-join so a hot
+        # bucket's k^2 pairs are produced across tasks, never materialized
+        # as one in-row array
+        left, right = banded.alias("l"), banded.alias("r")
+        return (
+            left.join(
+                right,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+            .distinct()
+        )
+    # capped path, ONE shuffle: gather each bucket's members into an array
+    # (collect state O(k) per bucket), drop oversized buckets BEFORE pair
+    # expansion, then emit pairs with JVM array combinators — the expanded
+    # pair array is bounded by max_bucket_size^2 structs per bucket
     buckets = banded.groupBy("band", "bucket").agg(
         F.collect_list("doc_id").alias("_ds")
-    ).filter(F.size("_ds") >= 2)
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("_ds") <= max_bucket_size)
+    ).filter((F.size("_ds") >= 2) & (F.size("_ds") <= max_bucket_size))
     pairs = buckets.select(
         F.explode(
             F.expr(

@@ -164,13 +164,22 @@ class IncrementalIndexer:
             .agg(F.max("tf").alias("tf"), F.max("positions").alias("positions"))
         )
 
-    def doc_lens(self) -> DataFrame:
+    def doc_lens(self, base_lens: DataFrame | None = None) -> DataFrame:
+        """(doc_id, doc_len) under the same latest-batch-wins + tombstone
+        rules as merged_postings. ``base_lens`` (doc_id, doc_len) joins in as
+        batch -1, so batch-built docs are replaced by re-ingests and removed
+        by tombstones exactly like streamed ones."""
         d = self.spark.read.parquet(os.path.join(self.delta_dir, "doc_lens"))
-        # latest batch wins (same single-record rule as merged_postings)
+        parts = d.select(
+            "doc_id", F.col("batch_id").cast("long").alias("batch_id"), "doc_len"
+        )
+        if base_lens is not None:
+            parts = base_lens.select(
+                "doc_id", F.lit(-1).cast("long").alias("batch_id"), "doc_len"
+            ).unionByName(parts)
         latest = (
-            d.groupBy("doc_id")
-            .agg(F.max(F.struct(F.col("batch_id").cast("long").alias("batch_id"),
-                                "doc_len")).alias("_s"))
+            parts.groupBy("doc_id")
+            .agg(F.max(F.struct("batch_id", "doc_len")).alias("_s"))
             .select(
                 "doc_id",
                 F.col("_s.batch_id").alias("_b"),
@@ -212,15 +221,12 @@ class IncrementalIndexer:
         postings = self.merged_postings(
             base.postings if base is not None else None
         )
-        lens = self.doc_lens()
-        if base is not None:
-            lens = (
-                base.doc_map.select("doc_id", "doc_len")
-                .unionByName(lens)
-                .groupBy("doc_id")
-                .agg(F.max("doc_len").alias("doc_len"))
-            )
-        doc_map = lens
+        # base doc lens merge under the SAME latest-wins + tombstone rules as
+        # the postings (a tombstoned or re-ingested base doc must not leak
+        # its old doc_len into n_docs/avgdl/BM25 normalization)
+        doc_map = self.doc_lens(
+            base.doc_map.select("doc_id", "doc_len") if base is not None else None
+        )
         term_stats = (
             postings.groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))

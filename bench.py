@@ -52,12 +52,14 @@ def run(sf_dir: str, cpus: int, do_stem: bool = True) -> dict:
     def _build():
         # cache_postings=False: every timed query below serves off the packed
         # index; skipping the long-table cache-write keeps the build number
-        # about indexing, not double-buffering
+        # about indexing, not double-buffering. NOTE: idx.postings is
+        # therefore NOT warm — a postings-path query added here would
+        # re-tokenize per call; keep bench queries on the packed paths.
         idx = build_index(spark, src, do_stem=do_stem, build_packed=True,
                           cache_postings=False)
-        # force full materialization of every index table: packed.count()
-        # runs tokenize->postings->pack in ONE action (filling the postings
-        # persist on the way); doc_map is narrow, term_stats a tiny rollup
+        # force full materialization: packed.count() runs the whole
+        # tokenize->postings->pack chain in ONE action; doc_map is narrow,
+        # term_stats a tiny rollup off the cached packed table
         idx.packed.count()
         idx.doc_map.count()
         idx.term_stats.count()

@@ -110,9 +110,14 @@ def test_lsh_exact_dup_prepass_and_bucket_cap(spark):
     assert (100, 101) in pairs
     assert not any(a < 30 and b < 30 for a, b in pairs)
 
-    # guards off: the boilerplate bucket exists and is k-sized
-    sizes = dedup.lsh_bucket_sizes(docs)
+    # guards off: the boilerplate bucket exists and is k-sized (diagnostic
+    # run with dedup_exact matching the capped run below)
+    sizes = dedup.lsh_bucket_sizes(docs, dedup_exact=False)
     assert sizes.agg(F.max("n_docs")).collect()[0][0] == 30
+    # with the default pre-pass the diagnostic sees the collapsed buckets
+    assert (
+        dedup.lsh_bucket_sizes(docs).agg(F.max("n_docs")).collect()[0][0] <= 2
+    )
 
     # cap without dedup: the oversized bucket emits no pairs and is listed
     capped = dedup.lsh_candidate_pairs(

@@ -355,3 +355,30 @@ def test_tombstone_delete_reingest_and_query(spark, tmp_path):
     ex = QueryExecutor(spark, idx)
     assert [r["doc_id"] for r in ex.search("banana", k=5).collect()] == [1]
     assert ex.search("apple", k=5).collect() == []
+
+
+def test_tombstone_and_reingest_against_batch_base(spark, tmp_path):
+    """The latest-wins + tombstone rules must also govern a batch-built base
+    passed to to_index: a tombstoned base doc leaves n_docs/avgdl and every
+    view; a re-ingested base doc takes its NEW doc_len (not max of old/new)."""
+    from awesome_spark_search.build import build_index
+    from awesome_spark_search.executor import QueryExecutor
+
+    base_src = spark.createDataFrame(
+        [(0, "apple pie crust"), (1, "banana bread loaf slice crumb")],
+        "doc_id long, content string",
+    )
+    base = build_index(spark, base_src, do_stem=False, build_packed=False)
+    ingest = IncrementalIndexer(spark, str(tmp_path / "delta_base"), do_stem=False)
+    ingest.delete_docs([0], batch_id=0)
+    ingest.foreach_batch(  # doc 1 re-ingested SHORTER
+        spark.createDataFrame([(1, "banana")], "doc_id long, content string"), 1
+    )
+    idx = ingest.to_index(base)
+    assert idx.stats.n_docs == 1
+    lens = {r["doc_id"]: r["doc_len"] for r in idx.doc_map.collect()}
+    assert lens == {1: 1}  # new length, not max(5, 1)
+    ex = QueryExecutor(spark, idx)
+    assert [r["doc_id"] for r in ex.search("banana", k=5).collect()] == [1]
+    assert ex.search("apple", k=5).collect() == []
+    assert ex.search("bread", k=5).collect() == []  # dropped by re-ingest

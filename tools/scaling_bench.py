@@ -153,9 +153,10 @@ def worker(cores: int, corpus_path: str, run_queries: bool = True) -> dict:
     idx = build_index(spark, src, do_stem=True, build_packed=True,
                       doc_shard_size=2048, cache_postings=False)
     # packed.count() materializes the whole tokenize->postings->pack chain in
-    # ONE action (postings persist fills as it streams); doc_map is a narrow
-    # sha256 pass and term_stats a tiny rollup off the cached packed table —
-    # no separate full-postings action remains
+    # ONE action (postings stream straight into the pack shuffle — NOT
+    # cached, per cache_postings=False above); doc_map is a narrow sha256
+    # pass and term_stats a tiny rollup off the cached packed table — no
+    # separate full-postings action remains
     idx.packed.count()
     idx.doc_map.count()
     idx.term_stats.count()
