@@ -27,10 +27,9 @@ from pyspark.sql import functions as F
 
 from . import queries as Q
 from . import scoring
-from .build import Index, term_bucket_col, DEFAULT_TERM_BUCKETS, _py_term_bucket
+from .build import Index, DEFAULT_TERM_BUCKETS, _py_term_bucket
 from .spell import correct_term
 from .textproc import preprocess_query_terms, tokenize_text
-from .stopwords import STOPWORDS
 
 PRF_MOST_FREQUENT_TOKENS = 10  # ref: QueryProcessor.java:44-46
 
