@@ -69,3 +69,33 @@ def test_bm25_broadcasts_term_stats(spark, ckpt_index):
     # the broadcast side must be filtered to the query's terms, not the
     # whole dictionary (fatal at a 100M-term vocabulary)
     assert re.search(r"term#\d+ IN \(buffer,merg,scan\)|term.* IN ", plan), plan[:3000]
+
+
+@pytest.fixture(scope="module")
+def packed_ckpt_index(spark, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("plan_idx_packed"))
+    src = spark.createDataFrame(corpus.generate_pandas(120, seed=21))
+    return build_index(
+        spark, src, do_stem=True, checkpoint_dir=ckpt, build_packed=True,
+        doc_shard_size=32,
+    )
+
+
+def test_wand_plan_single_action_shape(spark, packed_ckpt_index):
+    """The packed WAND query must (a) broadcast the term-filtered idf side
+    (no driver-side collect exists to check, but the join must be a
+    broadcast, not a shuffle join), (b) prune packed partitions on
+    term_bucket, and (c) push the term filter to the packed scan."""
+    from awesome_spark_search.wand import wand_topk
+
+    df = wand_topk(spark, packed_ckpt_index, ["buffer", "merge"], k=10)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "term_bucket" in m.group(1), plan[:2000]
+    pf = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pf and any("term" in x for x in pf), plan[:2000]
+    # and it returns the right thing
+    rows = df.collect()
+    assert rows and rows[0]["score"] > 0
