@@ -66,7 +66,7 @@ class Index:
     doc_map: DataFrame      # doc_id, repo, path, commit, lang, doc_len, content_sha256
     postings: DataFrame     # term_bucket, term, doc_id, tf, positions
     term_stats: DataFrame   # term_bucket, term, df, cf
-    packed: DataFrame       # term_bucket, term, doc_shard, n, doc_ids_vb, tfs_vb, pos_vb, block_max
+    packed: DataFrame       # term_bucket, term, doc_shard, n, *_vb blobs, block_max, blk_* directory
     stats: IndexStats
     do_stem: bool = True
     build_metrics: list = field(default_factory=list)
@@ -91,6 +91,16 @@ PACKED_SCHEMA = T.StructType(
         T.StructField("dls_vb", T.BinaryType(), False),
         T.StructField("pos_vb", T.BinaryType(), False),
         T.StructField("block_max", T.ArrayType(T.DoubleType()), False),
+        # block directory (ref skipping-areas analog: src/io/index/
+        # UncompressedIndexWriter.java:101-118): per 128-posting block, the
+        # byte offset into each stream plus the block's first doc_id. The
+        # doc_id delta stream RESTARTS at each block head, so any block
+        # decodes standalone — the query side skips whole blocks without
+        # touching their bytes (see wand._shard_topk_factory).
+        T.StructField("blk_doc_off", T.ArrayType(T.IntegerType()), False),
+        T.StructField("blk_tf_off", T.ArrayType(T.IntegerType()), False),
+        T.StructField("blk_dl_off", T.ArrayType(T.IntegerType()), False),
+        T.StructField("blk_first_doc", T.ArrayType(T.LongType()), False),
     ]
 )
 
@@ -122,6 +132,10 @@ def _pack_many(pdf: pd.DataFrame, avgdl: float, n_buckets: int) -> pd.DataFrame:
                 "dls_vb": pd.Series(dtype="object"),
                 "pos_vb": pd.Series(dtype="object"),
                 "block_max": pd.Series(dtype="object"),
+                "blk_doc_off": pd.Series(dtype="object"),
+                "blk_tf_off": pd.Series(dtype="object"),
+                "blk_dl_off": pd.Series(dtype="object"),
+                "blk_first_doc": pd.Series(dtype="object"),
             }
         )
 
@@ -157,18 +171,25 @@ def _pack_many(pdf: pd.DataFrame, avgdl: float, n_buckets: int) -> pd.DataFrame:
         mask = np.ones(len(stream), dtype=bool)
         mask[marker_idx] = False
         stream[mask] = seg.astype(np.uint64)
+        ids_vb, doc_off, first_doc = codec.delta_vbyte_encode_blocked(ids)
+        tfs_vb, tf_off = codec.vbyte_encode_blocked(t.astype(np.uint64))
+        dls_vb, dl_off = codec.vbyte_encode_blocked(dls[s:e].astype(np.uint64))
         cols["term_bucket"].append(_py_term_bucket(terms[s], n_buckets))
         cols["term"].append(terms[s])
         cols["doc_shard"].append(int(shards[s]))
         cols["n"].append(k)
         cols["cf"].append(int(t.sum()))
-        cols["doc_ids_vb"].append(codec.delta_vbyte_encode(ids))
-        cols["tfs_vb"].append(codec.vbyte_encode(t.astype(np.uint64)))
-        cols["dls_vb"].append(codec.vbyte_encode(dls[s:e].astype(np.uint64)))
+        cols["doc_ids_vb"].append(ids_vb)
+        cols["tfs_vb"].append(tfs_vb)
+        cols["dls_vb"].append(dls_vb)
         cols["pos_vb"].append(codec.vbyte_encode(stream))
         cols["block_max"].append(
             codec.block_max_scores(t, dls[s:e], avgdl, K1, B).tolist()
         )
+        cols["blk_doc_off"].append(doc_off.astype(np.int32).tolist())
+        cols["blk_tf_off"].append(tf_off.astype(np.int32).tolist())
+        cols["blk_dl_off"].append(dl_off.astype(np.int32).tolist())
+        cols["blk_first_doc"].append(first_doc.tolist())
     return pd.DataFrame(cols)
 
 

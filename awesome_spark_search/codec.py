@@ -20,11 +20,12 @@ import numpy as np
 BLOCK = 128
 
 
-def vbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized varint encode of a uint64 array."""
+def _vbyte_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized varint encode; also returns the byte offset of EVERY value
+    (exclusive cumsum of per-value byte lengths)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # exact byte length per value: 1 + #thresholds passed
     lengths = np.ones(v.size, dtype=np.int64)
     for k in range(1, 10):
@@ -40,7 +41,22 @@ def vbyte_encode(values: np.ndarray) -> bytes:
         byte = (v[mask] >> np.uint64(7 * k)).astype(np.uint64) & np.uint64(0x7F)
         cont = np.where(lengths[mask] - 1 > k, 0x80, 0).astype(np.uint8)
         out[idx] = byte.astype(np.uint8) | cont
-    return out.tobytes()
+    return out.tobytes(), offsets
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized varint encode of a uint64 array."""
+    return _vbyte_encode_with_offsets(values)[0]
+
+
+def vbyte_encode_blocked(values: np.ndarray, block: int = BLOCK) -> tuple[bytes, np.ndarray]:
+    """varint encode + the byte offset of each ``block``-aligned value: the
+    slice ``buf[off[i]:off[i+1]]`` (end = len(buf) for the last block) decodes
+    standalone via ``vbyte_decode`` — the block directory of the packed index
+    (ref skipping-areas analog: src/io/index/UncompressedIndexWriter.java:
+    101-118)."""
+    buf, offsets = _vbyte_encode_with_offsets(values)
+    return buf, offsets[::block].copy()
 
 
 def vbyte_decode(buf: bytes) -> np.ndarray:
@@ -79,6 +95,51 @@ def delta_vbyte_decode(buf: bytes) -> np.ndarray:
     if gaps.size == 0:
         return np.zeros(0, dtype=np.int64)
     return np.cumsum(gaps.astype(np.int64))
+
+
+def delta_vbyte_encode_blocked(
+    sorted_values: np.ndarray, block: int = BLOCK
+) -> tuple[bytes, np.ndarray, np.ndarray]:
+    """Gap-encode with a RESTART at every ``block``-th entry (the gap at a
+    block start is the absolute value), then varint-pack. Returns
+    (bytes, per-block byte offsets, per-block first values). A block slice
+    ``buf[off[i]:off[i+1]]`` decodes standalone as vbyte_decode + cumsum —
+    no earlier block needed (skip-capable posting blobs)."""
+    v = np.asarray(sorted_values, dtype=np.int64)
+    if v.size == 0:
+        return b"", np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    gaps = np.empty(v.size, dtype=np.uint64)
+    gaps[0] = np.uint64(v[0])
+    gaps[1:] = np.diff(v).astype(np.uint64)
+    starts = np.arange(0, v.size, block, dtype=np.int64)
+    gaps[starts] = v[starts].astype(np.uint64)  # restart: absolute at block head
+    buf, offsets = _vbyte_encode_with_offsets(gaps)
+    return buf, offsets[starts].copy(), v[starts].copy()
+
+
+def delta_vbyte_decode_blocked(buf: bytes, block: int = BLOCK) -> np.ndarray:
+    """Full decode of a block-restarted delta stream (inverse of
+    ``delta_vbyte_encode_blocked``), vectorized: one cumsum + a per-block
+    base subtraction."""
+    gaps = vbyte_decode(buf).astype(np.int64)
+    n = gaps.size
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    cum = np.cumsum(gaps)
+    starts = np.arange(0, n, block, dtype=np.int64)
+    # value[i] = cum[i] - cum[start_of_block(i) - 1]  (0 for the first block)
+    base = np.zeros(starts.size, dtype=np.int64)
+    base[1:] = cum[starts[1:] - 1]
+    sizes = np.diff(np.append(starts, n))
+    return cum - np.repeat(base, sizes)
+
+
+def decode_block_slice(buf: bytes, off: np.ndarray, i: int, j: int) -> np.ndarray:
+    """Decode blocks [i, j) of a blocked stream: one varint pass over the
+    byte slice. For delta-restarted streams follow with a per-block cumsum
+    (``delta_vbyte_decode_blocked`` on the slice does exactly that)."""
+    end = int(off[j]) if j < len(off) else len(buf)
+    return vbyte_decode(buf[int(off[i]): end])
 
 
 def block_max_scores(tfs: np.ndarray, dls: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:

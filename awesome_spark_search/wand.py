@@ -42,64 +42,179 @@ RESULT_SCHEMA = T.StructType(
 )
 
 
+# decoded-postings instrumentation (per-process; in distributed runs each
+# Python worker counts its own shards — the test calls the shard fn directly)
+DECODE_STATS = {"postings": 0}
+
+
+def reset_decode_stats() -> None:
+    DECODE_STATS["postings"] = 0
+
+
+def _sorted_member(sorted_ids: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Boolean membership of ids (any order) in a sorted unique array."""
+    if sorted_ids.size == 0 or ids.size == 0:
+        return np.zeros(ids.size, dtype=bool)
+    pos = np.searchsorted(sorted_ids, ids)
+    pos_c = np.minimum(pos, sorted_ids.size - 1)
+    return sorted_ids[pos_c] == ids
+
+
+def _merge_scores(
+    aid: np.ndarray, aval: np.ndarray, bid: np.ndarray, bval: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge-add two (sorted unique ids, values) score vectors."""
+    if bid.size == 0:
+        return aid, aval
+    if aid.size == 0:
+        return bid, bval
+    mid = np.union1d(aid, bid)
+    out = np.zeros(mid.size, dtype=np.float64)
+    out[np.searchsorted(mid, aid)] += aval
+    out[np.searchsorted(mid, bid)] += bval
+    return mid, out
+
+
+def _decode_term_blocks(
+    r, need: np.ndarray | None, counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
+    """Decode a packed term row's (doc_ids, tfs, dls); when ``need`` is given,
+    only blocks flagged True are decoded (contiguous runs sliced off the blob
+    via the block directory — skipped blocks' bytes are never touched).
+    Returns (doc_ids, tfs, dls, block_idx_per_posting or None for all)."""
+    ids_buf = bytes(r["doc_ids_vb"])
+    tf_buf = bytes(r["tfs_vb"])
+    dl_buf = bytes(r["dls_vb"])
+    if need is None or need.all():
+        doc_ids = codec.delta_vbyte_decode_blocked(ids_buf)
+        tfs = codec.vbyte_decode(tf_buf).astype(np.float64)
+        dls = codec.vbyte_decode(dl_buf).astype(np.float64)
+        return doc_ids, tfs, dls, None
+    doc_off = np.asarray(r["blk_doc_off"], dtype=np.int64)
+    tf_off = np.asarray(r["blk_tf_off"], dtype=np.int64)
+    dl_off = np.asarray(r["blk_dl_off"], dtype=np.int64)
+    idx = np.flatnonzero(need)
+    # contiguous runs of needed blocks -> one byte-slice decode per run
+    run_starts = idx[np.r_[True, np.diff(idx) > 1]]
+    run_ends = idx[np.r_[np.diff(idx) > 1, True]] + 1
+    id_parts, tf_parts, dl_parts, blk_parts = [], [], [], []
+    for bi, bj in zip(run_starts.tolist(), run_ends.tolist()):
+        gaps = codec.decode_block_slice(ids_buf, doc_off, bi, bj).astype(np.int64)
+        id_parts.append(_cumsum_block_restart(gaps, codec.BLOCK))
+        tf_parts.append(codec.decode_block_slice(tf_buf, tf_off, bi, bj))
+        dl_parts.append(codec.decode_block_slice(dl_buf, dl_off, bi, bj))
+        blk_parts.append(np.repeat(np.arange(bi, bj), counts[bi:bj]))
+    return (
+        np.concatenate(id_parts),
+        np.concatenate(tf_parts).astype(np.float64),
+        np.concatenate(dl_parts).astype(np.float64),
+        np.concatenate(blk_parts),
+    )
+
+
+def _cumsum_block_restart(gaps: np.ndarray, block: int) -> np.ndarray:
+    """cumsum over a gap stream whose value at every ``block``-th entry is
+    absolute (the restart convention of delta_vbyte_encode_blocked)."""
+    n = gaps.size
+    if n == 0:
+        return gaps.astype(np.int64)
+    cum = np.cumsum(gaps.astype(np.int64))
+    starts = np.arange(0, n, block, dtype=np.int64)
+    base = np.zeros(starts.size, dtype=np.int64)
+    base[1:] = cum[starts[1:] - 1]
+    sizes = np.diff(np.append(starts, n))
+    return cum - np.repeat(base, sizes)
+
+
 def _shard_topk_factory(avgdl: float, k: int):
     """Returns the applyInPandas fn: packed rows of one doc_shard ->
     local top-k. Doc lengths are decoded from the blob itself (dls_vb), so
     no doc_map join/cogroup happens at query time; per-term idf arrives as a
-    column (broadcast-joined) so the whole query is ONE Spark action."""
+    column (broadcast-joined) so the whole query is ONE Spark action.
+
+    Block-level skipping (exact — returned scores are bit-identical to the
+    exhaustive plan): terms iterate in descending bound order; once k
+    candidates exist with running threshold theta, block b of term i is
+    decoded only if
+
+    * ``idf_i * block_max[b] + sum(bounds of terms after i) >= theta``
+      (a doc first appearing in b could still reach the top-k), OR
+    * the block's doc_id range [blk_first_doc[b], blk_first_doc[b+1])
+      contains an existing candidate (whose exact score must keep growing).
+
+    Skipped blocks' bytes are never decoded (the delta stream restarts per
+    block, so surviving blocks decode standalone). Postings decoded from a
+    candidate-range-only block are masked to existing candidates, which is
+    score-safe: such a doc's max achievable total from term i onward is
+    below theta <= the final k-th best."""
 
     def shard_topk(left: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
         if left.empty:
-            return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                {"doc_id": "int64", "score": "float64"}
-            )
-        # decode all term rows in this shard; order terms by bound desc
+            return empty
+        # order terms by bound desc
         rows = []
         for _, r in left.iterrows():
             idf = float(r["idf"])
-            bound = idf * (max(r["block_max"]) if len(r["block_max"]) else 0.0)
-            rows.append((bound, idf, r))
+            bm = np.asarray(r["block_max"], dtype=np.float64)
+            bound = idf * (bm.max() if bm.size else 0.0)
+            rows.append((bound, idf, bm, r))
         rows.sort(key=lambda x: -x[0])
+        bounds = np.array([b for b, _, _, _ in rows], dtype=np.float64)
+        # suffix_after[i] = sum of bounds of terms AFTER i
+        suffix_after = np.zeros(len(rows), dtype=np.float64)
+        if len(rows) > 1:
+            suffix_after[:-1] = np.cumsum(bounds[::-1])[::-1][1:]
 
-        scores: dict[int, float] = {}
+        cand_ids = np.zeros(0, dtype=np.int64)      # sorted unique
+        cand_scores = np.zeros(0, dtype=np.float64)
         theta = -np.inf  # k-th best so far
-        remaining = [b for b, _, _ in rows]
-        for i, (bound, idf, r) in enumerate(rows):
-            rest_bound = sum(remaining[i:])
-            doc_ids = codec.delta_vbyte_decode(bytes(r["doc_ids_vb"]))
-            tfs = codec.vbyte_decode(bytes(r["tfs_vb"])).astype(np.float64)
-            dl = codec.vbyte_decode(bytes(r["dls_vb"])).astype(np.float64)
-            contrib = idf * tfs / (tfs + K1 * (1 - B + B * dl / avgdl))
-            if len(scores) >= k and rest_bound < theta:
-                # WAND admission cutoff: a doc first appearing here has max
-                # possible score rest_bound < theta, so only existing
-                # candidates can still change the top-k — mask the rest out
-                mask = np.isin(doc_ids, np.fromiter(scores.keys(), np.int64))
-                doc_ids, contrib = doc_ids[mask], contrib[mask]
-            for d, c in zip(doc_ids.tolist(), contrib.tolist()):
-                scores[d] = scores.get(d, 0.0) + c
-            if len(scores) >= k:
-                theta = _kth_best(scores, k)
-        if not scores:
-            return pd.DataFrame({"doc_id": [], "score": []}).astype(
-                {"doc_id": "int64", "score": "float64"}
+        for i, (bound, idf, bm, r) in enumerate(rows):
+            rest_after = float(suffix_after[i])
+            n = int(r["n"])
+            nb = bm.size
+            counts = np.full(nb, codec.BLOCK, dtype=np.int64)
+            if nb:
+                counts[-1] = n - codec.BLOCK * (nb - 1)
+            if cand_ids.size >= k:
+                admit = idf * bm + rest_after >= theta
+                if admit.all():
+                    need = None
+                else:
+                    first_doc = np.asarray(r["blk_first_doc"], dtype=np.int64)
+                    lo = np.searchsorted(cand_ids, first_doc)
+                    hi = np.append(lo[1:], cand_ids.size)
+                    need = admit | (hi > lo)
+                    if not need.any():
+                        continue
+            else:
+                admit = None  # decode + admit everything until k candidates
+                need = None
+            doc_ids, tfs, dls, blk = _decode_term_blocks(r, need, counts)
+            DECODE_STATS["postings"] += doc_ids.size
+            contrib = idf * tfs / (tfs + K1 * (1 - B + B * dls / avgdl))
+            if admit is not None and not admit.all():
+                # mask candidate-range-only blocks' postings to existing
+                # candidates (blk is None when every block was decoded)
+                posting_admit = (
+                    np.repeat(admit, counts) if blk is None else admit[blk]
+                )
+                keep = posting_admit | _sorted_member(cand_ids, doc_ids)
+                doc_ids, contrib = doc_ids[keep], contrib[keep]
+            cand_ids, cand_scores = _merge_scores(
+                cand_ids, cand_scores, doc_ids, contrib
             )
-        ids = np.fromiter(scores.keys(), np.int64, len(scores))
-        vals = np.fromiter(scores.values(), np.float64, len(scores))
-        take = min(k, len(ids))
-        sel = np.lexsort((ids, -vals))[:take]
-        return pd.DataFrame({"doc_id": ids[sel], "score": vals[sel]})
+            if cand_ids.size >= k:
+                theta = float(np.partition(cand_scores, -k)[-k])
+        if cand_ids.size == 0:
+            return empty
+        take = min(k, cand_ids.size)
+        sel = np.lexsort((cand_ids, -cand_scores))[:take]
+        return pd.DataFrame({"doc_id": cand_ids[sel], "score": cand_scores[sel]})
 
     return shard_topk
-
-
-def _kth_best(scores: dict[int, float], k: int) -> float:
-    """k-th largest partial score — a valid (growing) lower bound on the final
-    k-th best, since BM25 contributions are nonnegative."""
-    vals = np.fromiter(scores.values(), np.float64, len(scores))
-    if len(vals) < k:
-        return -np.inf
-    return float(np.partition(vals, -k)[-k])
 
 
 def wand_topk(
@@ -140,7 +255,7 @@ def wand_topk(
 
 def _decode_positions_per_doc(r) -> tuple[np.ndarray, list[np.ndarray]]:
     """One packed row -> (doc_ids, [positions array per doc])."""
-    ids = codec.delta_vbyte_decode(bytes(r["doc_ids_vb"]))
+    ids = codec.delta_vbyte_decode_blocked(bytes(r["doc_ids_vb"]))
     stream = codec.vbyte_decode(bytes(r["pos_vb"])).astype(np.int64)
     out = []
     i = 0
@@ -300,7 +415,7 @@ def boolean_docs(
     def shard_eval(left: pd.DataFrame) -> pd.DataFrame:
         by_term: dict = {}
         for _, r in left.iterrows():
-            by_term[r["term"]] = codec.delta_vbyte_decode(bytes(r["doc_ids_vb"]))
+            by_term[r["term"]] = codec.delta_vbyte_decode_blocked(bytes(r["doc_ids_vb"]))
         out = _eval_docset(spec, by_term)
         out = np.sort(out)[::-1][:k]  # shard-local recency top-k
         return pd.DataFrame({"doc_id": out})
@@ -328,7 +443,7 @@ def decode_postings(index: Index, term: str, n_term_buckets: int = 64,
         def gen(batches):
             for pdf in batches:
                 for _, r in pdf.iterrows():
-                    ids = codec.delta_vbyte_decode(bytes(r["doc_ids_vb"]))
+                    ids = codec.delta_vbyte_decode_blocked(bytes(r["doc_ids_vb"]))
                     tfs = codec.vbyte_decode(bytes(r["tfs_vb"]))
                     yield pd.DataFrame(
                         {"doc_id": ids.astype(np.int64), "tf": tfs.astype(np.int32)}
@@ -339,7 +454,7 @@ def decode_postings(index: Index, term: str, n_term_buckets: int = 64,
     def gen_pos(batches):
         for pdf in batches:
             for _, r in pdf.iterrows():
-                ids = codec.delta_vbyte_decode(bytes(r["doc_ids_vb"]))
+                ids = codec.delta_vbyte_decode_blocked(bytes(r["doc_ids_vb"]))
                 stream = codec.vbyte_decode(bytes(r["pos_vb"])).astype(np.int64)
                 out_ids, out_pos = [], []
                 i = 0

@@ -81,7 +81,7 @@ def test_pack_many_roundtrip(rows):
     # decode every group and compare to the input
     got = []
     for _, r in packed.iterrows():
-        ids = codec.delta_vbyte_decode(bytes(r["doc_ids_vb"]))
+        ids = codec.delta_vbyte_decode_blocked(bytes(r["doc_ids_vb"]))
         tfs = codec.vbyte_decode(bytes(r["tfs_vb"])).astype(int)
         stream = codec.vbyte_decode(bytes(r["pos_vb"])).astype(np.int64)
         assert r["n"] == len(ids) == len(tfs)
