@@ -112,19 +112,31 @@ def minhash_signatures(
 MAX_BUCKET_SIZE = 64  # a bucket of k docs emits k^2/2 pairs; cap bounds it
 
 
-def dedup_exact_canonical(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """One surviving row (min doc_id) per distinct content. The exact-dup
-    pre-pass for LSH: byte-identical docs land in identical buckets in EVERY
-    band, so a boilerplate file repeated k times alone makes a k^2 bucket;
-    collapsing them first keeps LSH buckets to genuine near-dups. Pairs among
-    exact duplicates are reported by ``exact_duplicates`` instead."""
-    canon = (
-        docs.select("doc_id", F.sha2(F.col(text_col), 256).alias("_h"))
+def dedup_exact_canonical(
+    docs: DataFrame, text_col: str = "text", sha_col: str | None = None
+) -> DataFrame:
+    """One surviving (doc_id, text) row — min doc_id — per distinct content.
+    The exact-dup pre-pass for LSH: byte-identical docs land in identical
+    buckets in EVERY band, so a boilerplate file repeated k times alone makes
+    a k^2 bucket; collapsing them first keeps LSH buckets to genuine
+    near-dups. Pairs among exact duplicates are reported by
+    ``exact_duplicates`` instead.
+
+    ONE pass + ONE shuffle: ``groupBy(sha).agg(min(struct(doc_id, text)))``
+    — the struct min picks the smallest doc_id's row (doc_id is the leading
+    struct field), so there is no join back to ``docs`` and the content
+    column is scanned exactly once. Map-side partial min collapses each
+    partition to one struct per distinct digest before the exchange.
+
+    ``sha_col`` names an existing digest column (e.g. doc_map's
+    content_sha256) to skip recomputing sha256 over the corpus."""
+    h = F.col(sha_col) if sha_col else F.sha2(F.col(text_col), 256)
+    return (
+        docs.select(h.alias("_h"), F.struct("doc_id", text_col).alias("_s"))
         .groupBy("_h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+        .agg(F.min("_s").alias("_s"))
+        .select(F.col("_s.doc_id").alias("doc_id"), F.col(f"_s.{text_col}").alias(text_col))
     )
-    return docs.join(canon, "doc_id", "left_semi")
 
 
 def lsh_bucket_sizes(
@@ -133,6 +145,7 @@ def lsh_bucket_sizes(
     n_perms: int = MINHASH_PERMS,
     bands: int = LSH_BANDS,
     dedup_exact: bool = True,
+    sha_col: str | None = None,
 ) -> DataFrame:
     """(band, bucket, n_docs) — the skew diagnostic for the bucket cap: run
     with a threshold filter to see which buckets ``max_bucket_size`` drops.
@@ -140,7 +153,7 @@ def lsh_bucket_sizes(
     diagnosed (default matches default) so the counts describe the buckets
     the pair stage actually sees."""
     if dedup_exact:
-        docs = dedup_exact_canonical(docs, text_col)
+        docs = dedup_exact_canonical(docs, text_col, sha_col=sha_col)
     banded = _banded(minhash_signatures(docs, text_col, n_perms), n_perms, bands)
     return banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n_docs"))
 
@@ -152,6 +165,7 @@ def lsh_candidate_pairs(
     bands: int = LSH_BANDS,
     max_bucket_size: int | None = MAX_BUCKET_SIZE,
     dedup_exact: bool = True,
+    sha_col: str | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded LSH: equal band-slice of the MinHash
     signature -> same bucket -> pair. Returns (doc_a, doc_b) with doc_a < doc_b.
@@ -171,7 +185,7 @@ def lsh_candidate_pairs(
       (log it next to the job; tests/test_edge_cases.py pins the behavior).
     """
     if dedup_exact:
-        docs = dedup_exact_canonical(docs, text_col)
+        docs = dedup_exact_canonical(docs, text_col, sha_col=sha_col)
     banded = _banded(minhash_signatures(docs, text_col, n_perms), n_perms, bands)
     if max_bucket_size is None:
         # explicit opt-out of the cap: keep the streamed self-join so a hot
@@ -188,13 +202,20 @@ def lsh_candidate_pairs(
             .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
             .distinct()
         )
-    # capped path, ONE shuffle: gather each bucket's members into an array
-    # (collect state O(k) per bucket), drop oversized buckets BEFORE pair
-    # expansion, then emit pairs with JVM array combinators — the expanded
-    # pair array is bounded by max_bucket_size^2 structs per bucket
-    buckets = banded.groupBy("band", "bucket").agg(
+    # capped path: a window count over (band, bucket) drops oversized buckets
+    # BEFORE collect_list ever aggregates them, so a mega-bucket of k
+    # near-identical docs never materializes O(k) collect state (the window
+    # and the groupBy share the same hash partitioning — one exchange total,
+    # the chain above computes once)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    capped = banded.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
+        (F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size)
+    )
+    buckets = capped.groupBy("band", "bucket").agg(
         F.collect_list("doc_id").alias("_ds")
-    ).filter((F.size("_ds") >= 2) & (F.size("_ds") <= max_bucket_size))
+    )
     pairs = buckets.select(
         F.explode(
             F.expr(
