@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from . import queries as Q
 from . import scoring
 from .build import Index, DEFAULT_TERM_BUCKETS, _py_term_bucket
-from .spell import correct_term
+from .spell import correct_terms
 from .textproc import preprocess_query_terms, tokenize_text
 
 PRF_MOST_FREQUENT_TOKENS = 10  # ref: QueryProcessor.java:44-46
@@ -145,13 +145,13 @@ class QueryExecutor:
                 .filter(F.col("term").isin(exact))
                 .select("term").collect()
             }
-        out: dict[str, str] = {}
-        for t in exact:
-            if t not in present:
-                corrected = correct_term(t, self.index.term_stats)
-                if corrected is not None:
-                    out[t] = corrected
-        return out
+        missing = [t for t in exact if t not in present]
+        if not missing:
+            return {}
+        # ONE correction job regardless of typo count (batched dictionary
+        # scan + pair-distance pass; ref corrects all tokens in one query
+        # pass, QueryProcessor.java:397-417)
+        return correct_terms(missing, self.index.term_stats)
 
     # ---- leaf/composite doc-set + match plans ---------------------------
 

@@ -25,6 +25,45 @@ MAX_DISTANCE = 3
 MAX_LENGTH_DIFF = 2
 
 
+def damerau_levenshtein_unrestricted(a: str, b: str) -> int:
+    """TRUE (unrestricted) Damerau-Levenshtein, unit costs — allows edits on
+    top of a transposition, unlike the OSA variant (classic divergence:
+    dl('ca','abc') == 2 vs osa == 3). Published char-index-bookkeeping
+    algorithm; the reference implements this variant
+    (ref: src/querying/spellingcorrection/DamerauLevenshteinCalculator.java:
+    126-152 tracks per-character last-match rows the same way)."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    inf = la + lb
+    h = np.full((la + 2, lb + 2), inf, dtype=np.int64)
+    for i in range(la + 1):
+        h[i + 1][1] = i
+    for j in range(lb + 1):
+        h[1][j + 1] = j
+    da: dict[str, int] = {}
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            i1 = da.get(b[j - 1], 0)
+            j1 = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            h[i + 1][j + 1] = min(
+                h[i][j] + cost,          # substitute / match
+                h[i + 1][j] + 1,         # insert
+                h[i][j + 1] + 1,         # delete
+                h[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1),  # transpose span
+            )
+        da[a[i - 1]] = i
+    return int(h[la + 1][lb + 1])
+
+
 def damerau_levenshtein(a: str, b: str) -> int:
     """Optimal-string-alignment Damerau-Levenshtein, unit costs."""
     la, lb = len(a), len(b)
@@ -62,21 +101,79 @@ def make_distance_udf(target: str):
     return dist
 
 
-def correct_term(term: str, term_stats: DataFrame) -> str | None:
-    """Best correction for a term absent from the index, or None."""
-    if not term:
-        return None
-    first, tlen = term[0], len(term)
-    cands = term_stats.filter(
-        (F.substring("term", 1, 1) == first)
-        & (F.abs(F.length("term") - tlen) <= MAX_LENGTH_DIFF)
-    ).select("term", "cf")
-    dist = make_distance_udf(term)
+def _make_pair_distance_udf(variant: str):
+    @F.pandas_udf(T.IntegerType())
+    def dist(terms: pd.Series, targets: pd.Series) -> pd.Series:
+        from awesome_spark_search import spell
+
+        fn = (
+            spell.damerau_levenshtein_unrestricted
+            if variant == "dl"
+            else spell.damerau_levenshtein
+        )
+        return pd.Series(
+            [fn(t, g) for t, g in zip(terms, targets)], dtype="int32"
+        )
+
+    return dist
+
+
+def correct_terms(
+    terms: list[str], term_stats: DataFrame, variant: str = "osa"
+) -> dict[str, str]:
+    """Best corrections for MANY misspelled terms in ONE Spark job.
+
+    The reference corrects every missing token within one query pass
+    (ref: QueryProcessor.java:397-417); running ``correct_term`` per token
+    costs one dictionary-scan job each. Batched shape: one bucket-pruned
+    dictionary scan whose candidate predicate is the OR of every target's
+    (first-char, length band), crossed with the broadcast target list,
+    one Arrow-batched pair-distance pass, then
+    ``groupBy(target).min(struct(distance, -cf, term))`` — the struct min
+    reproduces the (distance ASC, cf DESC, term ASC) tie-break exactly.
+
+    ``variant``: 'osa' (default — matches the DuckDB oracle's
+    damerau_levenshtein) or 'dl' (the reference's TRUE unrestricted variant,
+    see damerau_levenshtein_unrestricted)."""
+    targets = sorted({t for t in terms if t})
+    if not targets:
+        return {}
+    spark = term_stats.sparkSession
+    pred = None
+    for t in targets:
+        cond = (F.substring("term", 1, 1) == t[0]) & (
+            F.abs(F.length("term") - len(t)) <= MAX_LENGTH_DIFF
+        )
+        pred = cond if pred is None else (pred | cond)
+    cands = term_stats.filter(pred).select("term", "cf")
+    tdf = spark.createDataFrame([(t,) for t in targets], "target string")
+    pairs = cands.join(
+        F.broadcast(tdf),
+        (F.substring(F.col("term"), 1, 1) == F.substring(F.col("target"), 1, 1))
+        & (F.abs(F.length("term") - F.length("target")) <= MAX_LENGTH_DIFF),
+    )
+    dist = _make_pair_distance_udf(variant)
     best = (
-        cands.withColumn("distance", dist(F.col("term")))
+        pairs.withColumn("distance", dist(F.col("term"), F.col("target")))
         .filter(F.col("distance") <= MAX_DISTANCE)
-        .orderBy(F.col("distance").asc(), F.col("cf").desc(), F.col("term").asc())
-        .limit(1)
+        .groupBy("target")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("distance"),
+                    (-F.col("cf")).alias("_ncf"),
+                    F.col("term"),
+                )
+            ).alias("_b")
+        )
+        .select("target", F.col("_b.term").alias("corrected"))
         .collect()
     )
-    return best[0]["term"] if best else None
+    return {r["target"]: r["corrected"] for r in best}
+
+
+def correct_term(
+    term: str, term_stats: DataFrame, variant: str = "osa"
+) -> str | None:
+    """Best correction for a term absent from the index, or None."""
+    return correct_terms([term], term_stats, variant=variant).get(term)

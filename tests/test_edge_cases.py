@@ -87,6 +87,67 @@ def test_spell_correction_exact_at_any_vocab_size(spark):
     ]
 
 
+def test_batched_spelling_one_job_for_three_typos(spark):
+    """A query with 3 misspelled tokens runs ONE correction job (batched
+    dictionary scan + pair-distance pass), not one per typo — asserted via
+    the Spark status tracker on a dedicated job group. Results match the
+    per-term API exactly."""
+    from awesome_spark_search.spell import correct_term, correct_terms
+
+    idx = _build(
+        spark,
+        [
+            (0, "buffer merge stream window"),
+            (1, "buffer compact stream scan"),
+            (2, "merge window stream batch"),
+        ],
+    )
+    # batched == per-term, including the (distance, cf desc, term asc) tie-break
+    typos = ["mrege", "bufer", "windwo"]
+    batched = correct_terms(typos, idx.term_stats)
+    singles = {t: correct_term(t, idx.term_stats) for t in typos}
+    assert batched == {t: c for t, c in singles.items() if c is not None}
+    assert batched == {"mrege": "merge", "bufer": "buffer", "windwo": "window"}
+
+    # ONE action either way — AQE splits an action into a few jobs, so the
+    # invariant is: job count does NOT scale with typo count (was 3 jobs per
+    # typo with the per-term loop)
+    sc = spark.sparkContext
+
+    def jobs_for(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    j3 = jobs_for("spellbatch3", lambda: correct_terms(typos, idx.term_stats))
+    j1 = jobs_for("spellbatch1", lambda: correct_terms(typos[:1], idx.term_stats))
+    assert j3 == j1, (j3, j1)
+
+    # end-to-end: multi-typo search applies all corrections
+    ex = QueryExecutor(spark, idx)
+    ex.search("bufer mrege", k=10).collect()
+    assert ex.last_corrections == {"bufer": "buffer", "mrege": "merge"}
+
+
+def test_unrestricted_dl_variant_changes_candidate_choice(spark):
+    """The 'dl' variant (the reference's true Damerau-Levenshtein) admits
+    corrections OSA rejects: 'aab' -> 'abcca' is distance 3 under
+    unrestricted DL (edits across the transposed pair are allowed) but 4
+    under OSA — only the 'dl' variant corrects it within MAX_DISTANCE=3.
+    Both candidates share the first char and are within the length band, so
+    the divergence is in the distance itself, not the candidate filter."""
+    from awesome_spark_search.spell import correct_terms
+
+    ts = spark.createDataFrame(
+        [("abcca", 5, 0)], "term string, cf long, term_bucket int"
+    )
+    assert correct_terms(["aab"], ts, variant="dl") == {"aab": "abcca"}
+    assert correct_terms(["aab"], ts, variant="osa") == {}
+
+
 def test_lsh_exact_dup_prepass_and_bucket_cap(spark):
     """Boilerplate skew: k byte-identical docs alone would make a k^2 LSH
     bucket. The exact-dedup pre-pass collapses them to one canonical doc, and

@@ -47,6 +47,38 @@ def test_damerau_transposition_counts_one():
     assert damerau_levenshtein("abcd", "badc") == 2
 
 
+def test_unrestricted_dl_vs_osa_goldens():
+    """The reference's DamerauLevenshteinCalculator is the TRUE DL variant;
+    the engine defaults to OSA (what DuckDB's damerau_levenshtein computes,
+    keeping the oracle green) and offers 'dl' behind a flag. The classic
+    divergence: 'ca'->'abc' is transpose(ca->ac)+insert = 2 under true DL,
+    but OSA forbids edits across a transposed pair -> 3."""
+    from awesome_spark_search.spell import damerau_levenshtein_unrestricted as dl
+
+    assert dl("ca", "abc") == 2
+    assert damerau_levenshtein("ca", "abc") == 3
+    # where no non-adjacent transposition exists the variants agree
+    for a, b in [("merge", "mrege"), ("abcd", "badc"), ("", "xy"),
+                 ("kitten", "sitting"), ("spark", "spark")]:
+        assert dl(a, b) == damerau_levenshtein(a, b)
+
+
+@given(
+    st.text(alphabet="abc", max_size=7),
+    st.text(alphabet="abc", max_size=7),
+)
+@settings(max_examples=200, deadline=None)
+def test_unrestricted_dl_bounds(a, b):
+    """True DL <= OSA always (OSA restricts the edit sequences), and both
+    are >= the length-difference lower bound."""
+    from awesome_spark_search.spell import damerau_levenshtein_unrestricted as dl
+
+    d, o = dl(a, b), damerau_levenshtein(a, b)
+    assert d <= o
+    assert d >= abs(len(a) - len(b))
+    assert (d == 0) == (a == b)
+
+
 posting_frames = st.lists(
     st.tuples(
         st.sampled_from(["alpha", "beta", "gamma"]),  # term
