@@ -424,7 +424,15 @@ class QueryExecutor:
         ordering is JVM-iteration-dependent, so the rebuild pins the
         deterministic choice (highest count first, then term ASC; the
         reference's MapValueComparator.natural() ascending sort appears to be
-        a bug against its own 'most frequent' docstring)."""
+        a bug against its own 'most frequent' docstring).
+
+        Second deliberate deviation (filter order): base query terms are
+        removed BEFORE taking the top-10 expansion tokens, so the expansion
+        is always 10 NEW terms when available. The reference
+        (QueryProcessor.extendPrfQuery) limits first and filters after,
+        expanding by fewer than 10 whenever query terms rank in the snippet
+        top-10 (the common case). The DuckDB oracle (prf_search) encodes the
+        filter-then-limit choice — keep both sides in sync if changing."""
         if self.source_df is None:
             return []
         top_ids = [r["doc_id"] for r in top_rows[:depth]]

@@ -33,17 +33,29 @@ def read_source(spark: SparkSession, location: str, fmt: str = "parquet") -> Dat
     if fmt == "iceberg":
         from pyspark.errors import AnalysisException
 
+        # error classes that mean "this isn't a resolvable catalog table" —
+        # the intended sandbox fallback cases. Anything else (permissions,
+        # corrupt metadata, transient catalog outage) RE-RAISES: silently
+        # reading possibly-stale parquet there would mask a real failure.
+        _FALLBACK_CLASSES = {
+            "TABLE_OR_VIEW_NOT_FOUND",      # catalog has no such table
+            "REQUIRES_SINGLE_PART_NAMESPACE",  # multi-part name, no catalog
+            "PARSE_SYNTAX_ERROR",           # a filesystem path, not a name
+            "CATALOG_NOT_FOUND",
+            "SCHEMA_NOT_FOUND",
+        }
         try:
             return spark.read.table(location)
         except AnalysisException as exc:
-            # no catalog in this sandbox — same-shape parquet fallback.
-            # LOUD, and only for the missing-table/catalog analysis error:
-            # a transient catalog outage must not silently read stale files.
+            cls = exc.getCondition() if hasattr(exc, "getCondition") else exc.getErrorClass()
+            if cls is not None and cls not in _FALLBACK_CLASSES:
+                raise
+            # no catalog in this sandbox — same-shape parquet fallback. LOUD.
             import warnings
 
             warnings.warn(
                 f"iceberg table {location!r} not resolvable "
-                f"({exc.getErrorClass() or exc}); falling back to "
+                f"({cls or exc}); falling back to "
                 f"spark.read.parquet({location!r})",
                 stacklevel=2,
             )

@@ -116,15 +116,25 @@ class IncrementalIndexer:
         df.write.mode("append").parquet(os.path.join(self.delta_dir, "tombstones"))
 
     def _tombstone_max(self) -> DataFrame | None:
-        """(doc_id, _tb = latest tombstone batch), or None if no deletes."""
+        """(doc_id, _tb = latest tombstone batch), or None if no deletes.
+
+        Existence is probed through Spark itself (PATH_NOT_FOUND -> None),
+        NOT os.path: delta_dir may be an hdfs://... or s3a://... URI where a
+        driver-local isdir() is always False — which would silently no-op
+        every tombstone (the takedown flow must never fail open). Any other
+        read failure (permissions, corrupt files) re-raises."""
+        from pyspark.errors import AnalysisException
+
         path = os.path.join(self.delta_dir, "tombstones")
-        if not os.path.isdir(path):
-            return None
-        return (
-            self.spark.read.parquet(path)
-            .groupBy("doc_id")
-            .agg(F.max("batch_id").alias("_tb"))
-        )
+        try:
+            t = self.spark.read.parquet(path)
+            t.schema  # force analysis so a missing path surfaces here
+        except AnalysisException as exc:
+            cls = exc.getCondition() if hasattr(exc, "getCondition") else exc.getErrorClass()
+            if cls == "PATH_NOT_FOUND":
+                return None
+            raise
+        return t.groupBy("doc_id").agg(F.max("batch_id").alias("_tb"))
 
     def merged_postings(self, base: DataFrame | None = None) -> DataFrame:
         """Queryable postings = base (batch build) + streamed deltas.
@@ -146,19 +156,33 @@ class IncrementalIndexer:
                 F.lit(-1).cast("long").alias("batch_id"),  # base loses to any delta
                 "tf", "positions",
             ).unionByName(parts)
-        latest = parts.groupBy("doc_id").agg(F.max("batch_id").alias("_latest"))
+        # the per-doc latest-batch watermark comes from the doc_lens delta —
+        # one row per (doc_id, batch) REGARDLESS of token count — not from
+        # postings rows: a doc re-ingested with empty/all-stopword text has
+        # no postings rows in its new batch, and a postings-derived watermark
+        # would leave its OLD batch 'latest' (stale terms searchable while
+        # doc_lens reports the new length). Docs only in the base (no delta
+        # row) keep the base watermark -1 via the coalesce.
+        latest = (
+            self.spark.read.parquet(os.path.join(self.delta_dir, "doc_lens"))
+            .groupBy("doc_id")
+            .agg(F.max(F.col("batch_id").cast("long")).alias("_latest"))
+        )
+        merged = (
+            parts.join(latest, "doc_id", "left")
+            .withColumn("_eff", F.coalesce(F.col("_latest"), F.lit(-1).cast("long")))
+            .filter(F.col("batch_id") == F.col("_eff"))
+        )
         tomb = self._tombstone_max()
         if tomb is not None:
             # a doc survives only if something was ingested AFTER its last
             # tombstone (doc-keyed join, uniform keys)
-            latest = (
-                latest.join(tomb, "doc_id", "left")
-                .filter(F.col("_tb").isNull() | (F.col("_tb") < F.col("_latest")))
-                .select("doc_id", "_latest")
+            merged = (
+                merged.join(tomb, "doc_id", "left")
+                .filter(F.col("_tb").isNull() | (F.col("_tb") < F.col("_eff")))
             )
         return (
-            parts.join(latest, "doc_id")
-            .filter(F.col("batch_id") == F.col("_latest"))
+            merged
             # replay of the winning batch duplicates identical rows -> collapse
             .groupBy("term_bucket", "term", "doc_id")
             .agg(F.max("tf").alias("tf"), F.max("positions").alias("positions"))

@@ -319,6 +319,34 @@ def test_reingest_replaces_doc_consistently(spark, tmp_path):
     assert lens == {0: 2, 1: 2}
 
 
+def test_reingest_with_zero_postings_clears_stale_terms(spark, tmp_path):
+    """A doc re-ingested with content that yields NO postings (empty or
+    all-stopword text) must drop its old terms from the merged view — the
+    latest-batch watermark derives from the doc_lens delta (one row per
+    (doc, batch) regardless of token count), not from postings rows, so a
+    postings-less new version still advances the watermark. doc_lens and
+    postings stay consistent."""
+    delta_dir = str(tmp_path / "delta_zerop")
+    ingest = IncrementalIndexer(spark, delta_dir, do_stem=False)
+    ingest.foreach_batch(
+        spark.createDataFrame(
+            [(0, "apple pie"), (1, "banana bread")], "doc_id long, content string"
+        ),
+        0,
+    )
+    # doc 0 re-ingested as stopword-only text -> zero postings, doc_len 2
+    ingest.foreach_batch(
+        spark.createDataFrame([(0, "the of")], "doc_id long, content string"), 1
+    )
+    docs_with_terms = {
+        r["doc_id"]
+        for r in ingest.merged_postings().select("doc_id").distinct().collect()
+    }
+    assert docs_with_terms == {1}, "stale v0 terms of doc 0 still searchable"
+    lens = {r["doc_id"]: r["doc_len"] for r in ingest.doc_lens().collect()}
+    assert lens == {0: 2, 1: 2}  # doc_len counts stop words (tokenizer contract)
+
+
 def test_tombstone_delete_reingest_and_query(spark, tmp_path):
     """Takedown flow: delete_docs removes a doc from every merged view; a
     LATER re-ingest resurrects it (with the new content only); a later
