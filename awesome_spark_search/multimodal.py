@@ -350,6 +350,91 @@ def probe_media(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, PROBE_SCHEMA)
 
 
+def decode_png(b: bytes) -> np.ndarray:
+    """REAL stdlib PNG pixel decode -> uint8 ndarray (h, w, channels).
+
+    Supports the non-interlaced 8-bit-depth baseline (grayscale and RGB,
+    color types 0/2) with ALL five scanline filters (None/Sub/Up/Average/
+    Paeth) — the fully-specified hot subset; anything else raises
+    DecoderUnavailable loudly. zlib inflate + per-row unfilter per the PNG
+    spec; row-sequential by necessity (each row's reconstruction depends on
+    the previous), vectorized across the row where the filter allows.
+
+    This is the pixel half of the decode boundary done WITHOUT external
+    libraries; production would swap in PIL via the same decoder contract."""
+    import struct
+    import zlib
+
+    if not b.startswith(_PNG_SIG):
+        raise DecoderUnavailable("not a PNG signature")
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[pos: pos + 4])
+        tag = b[pos + 4: pos + 8]
+        body = b[pos + 8: pos + 8 + clen]
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None:
+        raise DecoderUnavailable("PNG missing IHDR")
+    w, h, bit, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if bit != 8 or color not in (0, 2) or comp != 0 or filt != 0 or interlace != 0:
+        raise DecoderUnavailable(
+            f"unsupported PNG shape (bit={bit} color={color} interlace={interlace})"
+        )
+    nch = 1 if color == 0 else 3
+    stride = w * nch
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (stride + 1):
+        raise DecoderUnavailable("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ftype == 0:      # None
+            rec = row
+        elif ftype == 2:    # Up
+            rec = (row + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            rec = row.copy()
+            for x in range(stride):
+                a = rec[x - nch] if x >= nch else 0          # left
+                bb = prev[x]                                  # up
+                if ftype == 1:
+                    rec[x] = (rec[x] + a) & 0xFF
+                elif ftype == 3:
+                    rec[x] = (rec[x] + (a + bb) // 2) & 0xFF
+                else:
+                    c = prev[x - nch] if x >= nch else 0      # up-left
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                    rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise DecoderUnavailable(f"unknown PNG filter {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, nch)
+
+
+def png_resize_kernel(payload: bytes, w: int, h: int) -> bytes:
+    """Injectable REAL resize for ``resize_images(decoder=...)``:
+    decode_png + nearest-neighbor resample -> raw RGB (or grayscale) bytes,
+    row-major. Same signature as _resize_stub."""
+    img = decode_png(payload)
+    sh, sw = img.shape[0], img.shape[1]
+    ys = (np.arange(h) * sh) // h
+    xs = (np.arange(w) * sw) // w
+    return img[ys][:, xs].tobytes()
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Metadata-only projection — payload column pruned at the Parquet scan."""
     return media.select(

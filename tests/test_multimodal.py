@@ -168,3 +168,99 @@ def test_probe_media_distributed(spark):
         "wav", 16000, 1000,
     )
     assert got[2]["container"] == "unknown"
+
+
+def test_decode_png_golden_pixels():
+    """REAL stdlib PNG decode: the make_png fixture is solid (0x10,0x20,0x30)
+    RGB with filter-0 rows — every decoded pixel must equal that triple."""
+    import numpy as np
+
+    from awesome_spark_search.multimodal import decode_png, make_png
+
+    img = decode_png(make_png(4, 3))
+    assert img.shape == (3, 4, 3)
+    assert (img == np.array([0x10, 0x20, 0x30], dtype=np.uint8)).all()
+
+
+def test_decode_png_all_filter_types_roundtrip():
+    """Encode a random RGB image applying each PNG scanline filter
+    (None/Sub/Up/Average/Paeth, spec-side forward filtering done here in the
+    test) and assert decode_png reconstructs the exact pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from awesome_spark_search.multimodal import _PNG_SIG, decode_png
+
+    rng = np.random.default_rng(11)
+    h, w, nch = 7, 5, 3
+    img = rng.integers(0, 256, (h, w * nch), dtype=np.uint8).astype(np.int64)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = np.zeros(w * nch, dtype=np.int64)
+    for y in range(h):
+        ftype = y % 5
+        row = img[y]
+        filt = np.zeros(w * nch, dtype=np.int64)
+        for x in range(w * nch):
+            a = row[x - nch] if x >= nch else 0
+            b = prev[x]
+            c = prev[x - nch] if x >= nch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                pred = paeth(a, b, c)
+            filt[x] = (row[x] - pred) & 0xFF
+        raw.append(ftype)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        _PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+    got = decode_png(png)
+    assert np.array_equal(got, img.astype(np.uint8).reshape(h, w, nch))
+
+
+def test_real_png_resize_through_spark_kernel(spark):
+    """media_resize with the REAL injected decoder: PNG payloads decode and
+    nearest-neighbor resample inside the mapInPandas kernel; output is
+    w*h*3 RGB bytes with the fixture's exact pixel values."""
+    from awesome_spark_search.multimodal import (
+        MEDIA_SCHEMA,
+        make_png,
+        png_resize_kernel,
+        resize_images,
+    )
+
+    rows = [
+        (0, "image", "image/png", bytearray(make_png(6, 4)), 6, 4, None),
+        (1, "image", "image/png", bytearray(make_png(3, 3)), 3, 3, None),
+        (2, "audio", "audio/wav", bytearray(b"\x00" * 16), None, None, 1000),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_images(media, width=2, height=2, decoder=png_resize_kernel).collect()
+    assert {r["media_id"] for r in out} == {0, 1}  # audio never crosses
+    for r in out:
+        assert len(bytes(r["payload"])) == 2 * 2 * 3
+        assert bytes(r["payload"]) == b"\x10\x20\x30" * 4  # solid fixture color
