@@ -258,8 +258,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ndcg_at_10: oracled — closed-form gain/DCG over the BM25 top-10 vs the
     # id-ascending pseudo-gold (ref: src/evaluation/NdcgCalculator.java:22-62)
     q["ndcg_at_10"] = lambda spark, sf: _ndcg_entry(spark, sf)
+    # linkto serves off the PACKED citation index (delta+VByte citing lists,
+    # ref: CitationIndexConstructor.java:64-74 parity) — pack->filter->decode
+    # must reproduce the plain edge-filter oracle exactly
     q["linkto"] = lambda spark, sf: (
-        _pagerank.citations_of(_citation_edges(spark, sf), 42)
+        _pagerank.citations_of_packed(
+            _pagerank.pack_citations(_citation_edges(spark, sf)), 42
+        )
     )
     # floor(x*1e6+0.5)/1e6 rounding on BOTH sides: the Spark and DuckDB
     # expression trees sum in different orders, and round() half-tie rules

@@ -15,12 +15,16 @@ the lineage chain so the plan doesn't grow with iteration count.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 DAMPING = 0.85
 ITERATIONS = 45
 CHECKPOINT_EVERY = 5
+CITATION_SHARD_SIZE = 1 << 20  # citing-src ids per packed row (bounds rows)
 
 
 def invert_citations(out_links: DataFrame) -> DataFrame:
@@ -36,6 +40,63 @@ def citations_of(edges: DataFrame, target: int) -> DataFrame:
     ref: QueryProcessor.java:314-319 + DocumentRanker.java:105-114)."""
     return (
         edges.filter(F.col("dst") == target)
+        .select(F.col("src").alias("doc_id"))
+        .orderBy(F.col("doc_id").desc())
+    )
+
+
+def pack_citations(
+    edges: DataFrame, shard_size: int = CITATION_SHARD_SIZE
+) -> DataFrame:
+    """Delta+VByte-packed per-target citing lists — the storage parity of the
+    reference's compressed citation index (ref: src/indexing/citations/
+    CitationIndexConstructor.java:64-74 writes each target's sorted citing
+    ids as gap+varint), keyed (dst, src_shard) so one hub cited by 10^9 docs
+    still packs into bounded rows (same sharding rationale as postings).
+
+    Returns (dst, src_shard, n, srcs_vb). collect_set state is bounded by
+    shard_size; the varint encode is one Arrow-batched pass."""
+    sharded = edges.withColumn(
+        "src_shard", (F.col("src") / F.lit(shard_size)).cast("long")
+    )
+    grouped = sharded.groupBy("dst", "src_shard").agg(
+        F.sort_array(F.collect_set("src")).alias("_srcs")
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def enc(srcs: pd.Series) -> pd.Series:
+        from awesome_spark_search import codec as _c
+
+        return srcs.map(
+            lambda a: _c.delta_vbyte_encode(np.asarray(a, dtype=np.int64))
+        )
+
+    return grouped.select(
+        "dst", "src_shard", F.size("_srcs").alias("n"), enc("_srcs").alias("srcs_vb")
+    )
+
+
+def unpack_citations(packed: DataFrame) -> DataFrame:
+    """Packed citing lists -> (src, dst) edge rows (round-trip inverse of
+    pack_citations; the external gate for the citation codec)."""
+    from . import codec
+
+    def gen(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                srcs = codec.delta_vbyte_decode(bytes(r["srcs_vb"]))
+                yield pd.DataFrame(
+                    {"src": srcs.astype(np.int64), "dst": int(r["dst"])}
+                )
+
+    return packed.mapInPandas(gen, "src long, dst long")
+
+
+def citations_of_packed(packed: DataFrame, target: int) -> DataFrame:
+    """LinkTo served off the PACKED citation index: dst-filter prunes to the
+    target's few rows before any decode; per-row decode is one varint pass."""
+    return (
+        unpack_citations(packed.filter(F.col("dst") == target))
         .select(F.col("src").alias("doc_id"))
         .orderBy(F.col("doc_id").desc())
     )
