@@ -72,6 +72,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic PII planted (the synthetic corpus has
+    none) so the redaction oracle checks real matches, not all-zeros; the
+    DuckDB side plants the identical suffixes."""
+    extra = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" contact alice.smith@example.org now"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(" call 555-123-4567 soon"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" host 192.168.0.17 up"))
+        .otherwise(F.lit(""))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), extra).alias("text")
+    )
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -341,6 +356,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_score"] = lambda spark, sf: _textstats.quality_score(_docs(spark, sf))
     q["token_counts"] = lambda spark, sf: _textstats.token_counts(_docs(spark, sf))
     q["fingerprint"] = lambda spark, sf: _textstats.fingerprint(_docs(spark, sf))
+    # PII scrubbing over documents with deterministically planted PII
+    # (email -> phone -> ip replacement order is part of the contract)
+    q["pii_redaction"] = lambda spark, sf: _textstats.redact_pii(_pii_docs(spark, sf))
+    # benchmark decontamination: docs with doc_id % 97 == 0 stand in for the
+    # eval set; score = fraction of a doc's distinct shingles leaked into it
+    q["contamination"] = lambda spark, sf: _dedup.contamination_scores(
+        _docs(spark, sf), _docs(spark, sf).filter(F.col("doc_id") % 97 == 0)
+    )
 
     # --- events (streaming-shaped batch ops; same plans run under
     # readStream + watermark, see awesome_spark_search/streaming.py) ---
@@ -1052,6 +1075,63 @@ SELECT doc_id,
        md5(array_to_string(l, ' ')) AS fp_norm,
        md5(array_to_string(l[1:16], ' ')) AS fp_prefix
 FROM t
+"""
+    # pii_redaction: same planted suffixes as _pii_docs; counts on the
+    # original (augmented) text, then email -> phone -> ip replacement in
+    # the same order. Patterns interpolate from textstats (single source of
+    # truth; written without backslashes/alternation so Java regex and RE2
+    # agree). DuckDB regexp_replace needs the 'g' flag (Spark's is global).
+    _em, _ph, _ip = _textstats.PII_EMAIL, _textstats.PII_PHONE, _textstats.PII_IPV4
+    o["pii_redaction"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE doc_id % 5
+           WHEN 0 THEN ' contact alice.smith@example.org now'
+           WHEN 1 THEN ' call 555-123-4567 soon'
+           WHEN 2 THEN ' host 192.168.0.17 up'
+           ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_em}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{_ph}'))::BIGINT AS n_phones,
+       len(regexp_extract_all(text, '{_ip}'))::BIGINT AS n_ipv4,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_em}', '<EMAIL>', 'g'), '{_ph}', '<PHONE>', 'g'),
+           '{_ip}', '<IP>', 'g')) AS redacted_md5
+FROM aug
+"""
+    # contamination: same shingle chain as the MinHash oracles (k=3, distinct
+    # per doc); benchmark set = doc_id % 97 == 0; ratio uses the
+    # floor(x*1e6+0.5)/1e6 convention (CLAUDE.md float invariant)
+    o["contamination"] = """
+WITH dtoks AS (
+  SELECT d.doc_id,
+         list_filter(regexp_extract_all(lower(d.text), '[a-z-_]+'),
+                     t -> length(t) >= 2) AS l
+  FROM documents d
+),
+shingle AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(l[i:i+2], ' ')), 1, 8))::BIGINT AS shingle_hash
+  FROM dtoks, unnest(range(1, len(l) - 1)) AS t(i)
+  WHERE len(l) >= 3
+),
+bench AS (SELECT DISTINCT shingle_hash FROM shingle WHERE doc_id % 97 = 0),
+tot AS (SELECT doc_id, count(*)::BIGINT AS c FROM shingle GROUP BY 1),
+cont AS (
+  SELECT s.doc_id, count(*)::BIGINT AS c
+  FROM shingle s JOIN bench b USING (shingle_hash) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(tot.c, 0)::BIGINT AS n_shingles,
+       coalesce(cont.c, 0)::BIGINT AS n_contaminated,
+       CASE WHEN coalesce(tot.c, 0) > 0
+            THEN floor(coalesce(cont.c, 0) / tot.c * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS contamination
+FROM documents d
+LEFT JOIN tot ON tot.doc_id = d.doc_id
+LEFT JOIN cont ON cont.doc_id = d.doc_id
 """
     o["events_tumbling"] = """
 SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS w_start,

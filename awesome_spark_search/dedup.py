@@ -275,6 +275,51 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_scores(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Benchmark-decontamination scores: per doc, the fraction of its
+    DISTINCT k-token shingles that appear anywhere in ``bench_docs`` (the
+    eval/benchmark set a training corpus must not leak).
+
+    (doc_id, n_shingles, n_contaminated, contamination). Docs with fewer
+    than k tokens have 0 shingles and contamination 0.0.
+
+    Scale: both sides reduce to (doc_id, shingle_hash) keyed on uniform
+    md5 hashes; the benchmark side collapses to a distinct hash set (small —
+    eval suites are tiny next to a training corpus, so AQE broadcasts it)
+    and the probe is one semi-join + two doc-keyed aggregations."""
+    sh = shingles(docs, text_col, k)
+    bench = shingles(bench_docs, text_col, k).select("shingle_hash").distinct()
+    tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    cont = (
+        sh.join(bench, "shingle_hash", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    joined = (
+        docs.select("doc_id")
+        .join(tot, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+    )
+    ratio = F.when(
+        F.col("n_shingles") > 0,
+        F.floor(
+            F.col("n_contaminated") / F.col("n_shingles") * 1e6 + F.lit(0.5)
+        )
+        / F.lit(1e6),
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn("contamination", ratio)
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """(doc_id, simhash:long) — tf-weighted sign sum over md5 term hashes.
 

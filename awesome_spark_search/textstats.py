@@ -105,6 +105,44 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns written WITHOUT backslashes or alternation so the same literal
+# compiles identically under Java regex (Spark) and RE2 (DuckDB) and both
+# engines produce the same match set (no leftmost-first vs leftmost-longest
+# divergence without alternation; greedy quantifiers agree).
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_PHONE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_phones, n_ipv4, redacted_md5) — PII scrubbing for
+    training corpora: counts on the ORIGINAL text, then email -> phone -> ip
+    replacement IN THAT ORDER (order is part of the contract; the oracle
+    mirrors it). Pure column expressions — whole-stage codegen, a narrow map
+    at any scale; the redacted text itself is surfaced as an md5 so the
+    driver compare stays compact (the full redacted column is one
+    regexp_replace chain away for consumers)."""
+    t = F.col(text_col)
+
+    def _count(pat: str):
+        return F.size(F.expr(f"regexp_extract_all({text_col}, '{pat}', 0)"))
+
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+        ),
+        PII_IPV4,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        _count(PII_EMAIL).alias("n_emails"),
+        _count(PII_PHONE).alias("n_phones"),
+        _count(PII_IPV4).alias("n_ipv4"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, fp_norm, fp_prefix): md5 fingerprints of the normalized token
     stream and of its first 16 tokens (cheap near-dup blocking key)."""

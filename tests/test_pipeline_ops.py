@@ -1,0 +1,68 @@
+"""PII redaction and benchmark-contamination operators (training-data
+pipeline family): targeted fixtures beyond the driver's oracle gate."""
+
+from pyspark.sql import functions as F
+
+from awesome_spark_search.dedup import contamination_scores
+from awesome_spark_search.textstats import redact_pii
+
+
+def test_redact_pii_counts_and_replacement(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "mail bob.jones+x@sub.example.co.uk and carol@ex.org today"),
+            (1, "call 555-123-4567 or 800.555.1212 now"),
+            (2, "hosts 10.0.0.1 and 192.168.255.254 up"),
+            (3, "clean text with no pii at all"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert (out[0]["n_emails"], out[0]["n_phones"], out[0]["n_ipv4"]) == (2, 0, 0)
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ipv4"]) == (0, 2, 0)
+    assert (out[2]["n_emails"], out[2]["n_phones"], out[2]["n_ipv4"]) == (0, 0, 2)
+    assert (out[3]["n_emails"], out[3]["n_phones"], out[3]["n_ipv4"]) == (0, 0, 0)
+    # md5 of the redacted text matches a direct replacement
+    import hashlib
+
+    want = hashlib.md5(b"call <PHONE> or <PHONE> now").hexdigest()
+    assert out[1]["redacted_md5"] == want
+    want0 = hashlib.md5(b"mail <EMAIL> and <EMAIL> today").hexdigest()
+    assert out[0]["redacted_md5"] == want0
+
+
+def test_contamination_scores_math(spark):
+    # bench doc shares exactly its text with doc 10; doc 11 half-overlaps;
+    # doc 12 disjoint; doc 13 too short for any shingle
+    docs = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),       # identical to bench
+            (11, "alpha beta gamma zeta eta theta"),      # partial overlap
+            (12, "one two three four five six"),          # disjoint
+            (13, "xx yy"),                                # < k tokens
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in contamination_scores(docs, bench).collect()}
+    # doc 10: all 3 shingles in bench
+    assert out[10]["n_shingles"] == 3 and out[10]["n_contaminated"] == 3
+    assert out[10]["contamination"] == 1.0
+    # doc 11: shingles = (alpha beta gamma), (beta gamma zeta), ... only the
+    # first appears in bench -> 1/4
+    assert out[11]["n_shingles"] == 4 and out[11]["n_contaminated"] == 1
+    assert out[11]["contamination"] == 0.25
+    assert out[12]["n_contaminated"] == 0 and out[12]["contamination"] == 0.0
+    assert out[13]["n_shingles"] == 0 and out[13]["contamination"] == 0.0
+
+
+def test_contamination_includes_every_doc(spark):
+    docs = spark.createDataFrame(
+        [(0, "aa bb cc dd"), (1, "")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "zz yy xx ww")], "doc_id long, text string")
+    got = {r["doc_id"] for r in contamination_scores(docs, bench).collect()}
+    assert got == {0, 1}
