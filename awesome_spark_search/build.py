@@ -100,6 +100,11 @@ PACKED_SCHEMA = T.StructType(
         T.StructField("blk_doc_off", T.ArrayType(T.IntegerType()), False),
         T.StructField("blk_tf_off", T.ArrayType(T.IntegerType()), False),
         T.StructField("blk_dl_off", T.ArrayType(T.IntegerType()), False),
+        # byte offset into pos_vb at each block's first doc marker: the
+        # position stream ([tf, gap...] per doc) of any block run decodes
+        # standalone, so phrase queries decode positions ONLY for blocks
+        # holding doc-level candidates (wand._phrase_shard_factory)
+        T.StructField("blk_pos_off", T.ArrayType(T.IntegerType()), False),
         T.StructField("blk_first_doc", T.ArrayType(T.LongType()), False),
     ]
 )
@@ -135,6 +140,7 @@ def _pack_many(pdf: pd.DataFrame, avgdl: float, n_buckets: int) -> pd.DataFrame:
                 "blk_doc_off": pd.Series(dtype="object"),
                 "blk_tf_off": pd.Series(dtype="object"),
                 "blk_dl_off": pd.Series(dtype="object"),
+                "blk_pos_off": pd.Series(dtype="object"),
                 "blk_first_doc": pd.Series(dtype="object"),
             }
         )
@@ -174,6 +180,15 @@ def _pack_many(pdf: pd.DataFrame, avgdl: float, n_buckets: int) -> pd.DataFrame:
         ids_vb, doc_off, first_doc = codec.delta_vbyte_encode_blocked(ids)
         tfs_vb, tf_off = codec.vbyte_encode_blocked(t.astype(np.uint64))
         dls_vb, dl_off = codec.vbyte_encode_blocked(dls[s:e].astype(np.uint64))
+        pos_vb, pos_enc_off = codec._vbyte_encode_with_offsets(stream)
+        # stream entry index of doc j's tf marker = (cum tf before j) + j;
+        # take it at each 128-doc block head -> byte offset into pos_vb
+        blk_heads = np.arange(0, k, codec.BLOCK, dtype=np.int64)
+        pos_off = (
+            pos_enc_off[marker_idx[blk_heads]]
+            if k
+            else np.zeros(0, dtype=np.int64)
+        )
         cols["term_bucket"].append(_py_term_bucket(terms[s], n_buckets))
         cols["term"].append(terms[s])
         cols["doc_shard"].append(int(shards[s]))
@@ -182,13 +197,14 @@ def _pack_many(pdf: pd.DataFrame, avgdl: float, n_buckets: int) -> pd.DataFrame:
         cols["doc_ids_vb"].append(ids_vb)
         cols["tfs_vb"].append(tfs_vb)
         cols["dls_vb"].append(dls_vb)
-        cols["pos_vb"].append(codec.vbyte_encode(stream))
+        cols["pos_vb"].append(pos_vb)
         cols["block_max"].append(
             codec.block_max_scores(t, dls[s:e], avgdl, K1, B).tolist()
         )
         cols["blk_doc_off"].append(doc_off.astype(np.int32).tolist())
         cols["blk_tf_off"].append(tf_off.astype(np.int32).tolist())
         cols["blk_dl_off"].append(dl_off.astype(np.int32).tolist())
+        cols["blk_pos_off"].append(pos_off.astype(np.int32).tolist())
         cols["blk_first_doc"].append(first_doc.tolist())
     return pd.DataFrame(cols)
 

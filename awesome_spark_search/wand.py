@@ -44,11 +44,12 @@ RESULT_SCHEMA = T.StructType(
 
 # decoded-postings instrumentation (per-process; in distributed runs each
 # Python worker counts its own shards — the test calls the shard fn directly)
-DECODE_STATS = {"postings": 0}
+DECODE_STATS = {"postings": 0, "pos_entries": 0}
 
 
 def reset_decode_stats() -> None:
     DECODE_STATS["postings"] = 0
+    DECODE_STATS["pos_entries"] = 0
 
 
 def _sorted_member(sorted_ids: np.ndarray, ids: np.ndarray) -> np.ndarray:
@@ -253,23 +254,52 @@ def wand_topk(
     return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
-def _decode_positions_per_doc(r) -> tuple[np.ndarray, list[np.ndarray]]:
-    """One packed row -> (doc_ids, [positions array per doc])."""
-    ids = codec.delta_vbyte_decode_blocked(bytes(r["doc_ids_vb"]))
-    stream = codec.vbyte_decode(bytes(r["pos_vb"])).astype(np.int64)
-    out = []
-    i = 0
-    for _ in range(len(ids)):
-        n = int(stream[i]); i += 1
-        out.append(np.cumsum(stream[i: i + n])); i += n
-    return ids, out
+def _positions_for_docs(
+    r, ids_t: np.ndarray, tfs_t: np.ndarray, docs: np.ndarray
+) -> dict[int, np.ndarray]:
+    """Positions of ``docs`` (sorted, all present in this term's posting
+    list) decoded from ONLY the position-stream blocks that contain them —
+    the blk_pos_off directory slices the [tf, gaps...] stream at 128-doc
+    block heads, so untouched blocks' bytes are never inflated. Returns
+    {doc_id: absolute positions}."""
+    buf = bytes(r["pos_vb"])
+    pos_off = np.asarray(r["blk_pos_off"], dtype=np.int64)
+    nb = pos_off.size
+    pos_in_t = np.searchsorted(ids_t, docs)
+    blk = pos_in_t // codec.BLOCK
+    idx = np.unique(blk)
+    run_starts = idx[np.r_[True, np.diff(idx) > 1]]
+    run_ends = idx[np.r_[np.diff(idx) > 1, True]] + 1
+    out: dict[int, np.ndarray] = {}
+    for bi, bj in zip(run_starts.tolist(), run_ends.tolist()):
+        end = int(pos_off[bj]) if bj < nb else len(buf)
+        seg = codec.vbyte_decode(buf[int(pos_off[bi]): end]).astype(np.int64)
+        DECODE_STATS["pos_entries"] += seg.size
+        j0 = bi * codec.BLOCK
+        j1 = min(bj * codec.BLOCK, ids_t.size)
+        tf_seg = tfs_t[j0:j1]
+        # marker offset of doc j (relative to the run) = sum of (tf+1) before it
+        marks = np.zeros(j1 - j0, dtype=np.int64)
+        np.cumsum(tf_seg[:-1] + 1, out=marks[1:])
+        in_run = (blk >= bi) & (blk < bj)
+        for p, d in zip(pos_in_t[in_run].tolist(), docs[in_run].tolist()):
+            m = marks[p - j0]
+            tf = int(tf_seg[p - j0])
+            out[int(d)] = np.cumsum(seg[m + 1: m + 1 + tf])
+    return out
 
 
 def _phrase_shard_factory(terms: list[str], avgdl: float, k: int):
     """applyInPandas: packed rows of the phrase terms in one doc_shard ->
     local top-k of docs containing the exact phrase (ref adjacency
     semantics: QueryProcessor.java:223-293). idf arrives as a joined column
-    (one Spark action per query, like wand_topk)."""
+    (one Spark action per query, like wand_topk).
+
+    Two-stage decode, scalable at 1M-posting shards: stage 1 intersects the
+    cheap doc_id blobs of all phrase terms (docs missing any term can never
+    match); stage 2 decodes POSITIONS only for the blocks that contain the
+    surviving docs, via the blk_pos_off directory — the position stream is
+    the largest blob and for selective phrases almost none of it is read."""
     distinct_terms = list(dict.fromkeys(terms))
 
     def shard_phrase(left: pd.DataFrame) -> pd.DataFrame:
@@ -278,44 +308,55 @@ def _phrase_shard_factory(terms: list[str], avgdl: float, k: int):
         )
         if left.empty:
             return empty
-        by_term = {}
-        idfs = {}
-        for _, r in left.iterrows():
-            by_term[r["term"]] = _decode_positions_per_doc(r)
-            idfs[r["term"]] = float(r["idf"])
-        if any(t not in by_term for t in terms):
+        rows = {r["term"]: r for _, r in left.iterrows()}
+        if any(t not in rows for t in distinct_terms):
             return empty
-        # ordered positional intersection: cur = positions where a prefix of
+        # stage 1: doc-level intersection from the doc_id blobs only
+        ids = {
+            t: codec.delta_vbyte_decode_blocked(bytes(rows[t]["doc_ids_vb"]))
+            for t in distinct_terms
+        }
+        surv = ids[distinct_terms[0]]
+        for t in distinct_terms[1:]:
+            surv = np.intersect1d(surv, ids[t], assume_unique=True)
+            if surv.size == 0:
+                return empty
+        tfs = {
+            t: codec.vbyte_decode(bytes(rows[t]["tfs_vb"])).astype(np.int64)
+            for t in distinct_terms
+        }
+        # stage 2: candidate-block-only position decode per term
+        pos = {
+            t: _positions_for_docs(rows[t], ids[t], tfs[t], surv)
+            for t in distinct_terms
+        }
+        # ordered positional adjacency: cur = positions where a prefix of
         # the phrase ends; survive docs where every step keeps a match
-        ids0, pos0 = by_term[terms[0]]
-        cur = {int(d): p for d, p in zip(ids0, pos0)}
+        cur = {int(d): pos[terms[0]][int(d)] for d in surv}
         for t in terms[1:]:
-            ids_t, pos_t = by_term[t]
-            nxt_pos = {int(d): p for d, p in zip(ids_t, pos_t)}
+            nxt = pos[t]
             cur = {
                 d: hits
                 for d, p in cur.items()
-                if d in nxt_pos
-                and len(hits := np.intersect1d(p + 1, nxt_pos[d], assume_unique=True))
+                if len(hits := np.intersect1d(p + 1, nxt[d], assume_unique=True))
             }
             if not cur:
                 return empty
         survivors = np.fromiter(sorted(cur), np.int64)
         # doc lengths decode from the first term's blob (survivors are a
-        # subset of every phrase term's posting list)
-        ids0_row = left[left["term"] == terms[0]].iloc[0]
-        dls_all = codec.vbyte_decode(bytes(ids0_row["dls_vb"])).astype(np.float64)
-        ids0_sorted = by_term[terms[0]][0]
-        dls = dls_all[np.searchsorted(ids0_sorted, survivors)]
+        # subset of every phrase term's posting list); dl blocks could be
+        # sliced too, but the dl blob is 1-2 bytes/posting — noise next to
+        # the position stream this path now skips
+        dls_all = codec.vbyte_decode(
+            bytes(rows[distinct_terms[0]]["dls_vb"])
+        ).astype(np.float64)
+        dls = dls_all[np.searchsorted(ids[distinct_terms[0]], survivors)]
         scores = np.zeros(len(survivors), np.float64)
         for t in distinct_terms:
-            ids_t, _ = by_term[t]
-            tfs_t = codec.vbyte_decode(bytes(
-                left.loc[left["term"] == t, "tfs_vb"].iloc[0]
-            )).astype(np.float64)
-            pos_in_t = np.searchsorted(ids_t, survivors)
-            tf = tfs_t[pos_in_t]
-            scores += idfs[t] * tf / (tf + K1 * (1 - B + B * dls / avgdl))
+            tf = tfs[t][np.searchsorted(ids[t], survivors)].astype(np.float64)
+            scores += float(rows[t]["idf"]) * tf / (
+                tf + K1 * (1 - B + B * dls / avgdl)
+            )
         take = min(k, len(survivors))
         sel = np.lexsort((survivors, -scores))[:take]
         return pd.DataFrame({"doc_id": survivors[sel], "score": scores[sel]})

@@ -134,3 +134,49 @@ def test_blocked_codec_slices_match_full_decode():
     run = codec.decode_block_slice(buf, off, 2, 5).astype(np.int64)
     got = wand._cumsum_block_restart(run, codec.BLOCK)
     assert np.array_equal(got, ids[2 * codec.BLOCK : 5 * codec.BLOCK])
+
+
+def test_phrase_positions_decode_candidate_blocks_only():
+    """Packed phrase path: positions decode ONLY for blocks containing the
+    doc-level candidates (docs holding ALL phrase terms). A 20k-doc common
+    term whose intersection with the rare term is 8 docs must leave >= 90%
+    of its position stream untouched, and the result must match the
+    brute-force phrase evaluation."""
+    rng = np.random.default_rng(13)
+    n_docs = 20_000
+    common_ids = np.arange(n_docs)
+    rare_ids = np.sort(rng.choice(n_docs, 8, replace=False))
+    match_ids = set(rare_ids[:3].tolist())  # adjacent only in these
+
+    rows = []
+    for d in common_ids:
+        # 'aa' at positions [2, 7]
+        rows.append(("aa", 0, int(d), 2, [2, 7], 50))
+    for d in rare_ids:
+        # 'bb' adjacent (pos 3) only for match_ids; else far away
+        p = 3 if int(d) in match_ids else 30
+        rows.append(("bb", 0, int(d), 1, [p], 50))
+    rows.sort(key=lambda t: (t[0], t[1], t[2]))
+    pdf = pd.DataFrame(
+        {
+            "term": [r[0] for r in rows],
+            "doc_shard": [r[1] for r in rows],
+            "doc_id": [r[2] for r in rows],
+            "tf": [r[3] for r in rows],
+            "positions": [r[4] for r in rows],
+            "doc_len": [r[5] for r in rows],
+        }
+    )
+    packed = _pack_many(pdf, avgdl=50.0, n_buckets=64)
+    packed["idf"] = [
+        _idf(n_docs if t == "aa" else 8, n_docs) for t in packed["term"]
+    ]
+    fn = wand._phrase_shard_factory(["aa", "bb"], avgdl=50.0, k=10)
+    wand.reset_decode_stats()
+    out = fn(packed)
+    # total position-stream entries = sum(tf + 1 marker) over all postings
+    total_entries = (pdf["tf"] + 1).sum()
+    assert wand.DECODE_STATS["pos_entries"] * 10 <= total_entries, (
+        wand.DECODE_STATS["pos_entries"], int(total_entries)
+    )
+    assert sorted(out["doc_id"].tolist()) == sorted(match_ids)
