@@ -424,13 +424,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
     # REAL stdlib container parsing (PNG IHDR / WAV fmt+data chunk walk) over
-    # deterministic generated payloads — rows-only (payloads are in-session
-    # binary, not a parquet table DuckDB can see); parsing is pinned by
-    # tests/test_multimodal.py golden bytes
+    # deterministic generated payloads. HASH-VERIFIED: synth_probe_media's
+    # construction is closed-form in the row index, so the oracle recomputes
+    # the expected metadata directly — if the byte-level parser misread any
+    # chunk, the values would diverge. (Numeric columns cast to double on
+    # both sides: NULLable ints round-trip as NaN floats.)
     q["media_probe"] = lambda spark, sf: (
         (lambda mm: mm.probe_media(mm.synth_probe_media(spark, 24))
-         .select("media_id", "container", "width", "height", "channels",
-                 "sample_rate", "duration_ms"))(
+         .select(
+             "media_id", "container",
+             F.col("width").cast("double").alias("width"),
+             F.col("height").cast("double").alias("height"),
+             F.col("channels").cast("double").alias("channels"),
+             F.col("sample_rate").cast("double").alias("sample_rate"),
+             F.col("duration_ms").cast("double").alias("duration_ms"),
+         ))(
             __import__("awesome_spark_search.multimodal", fromlist=["x"])
         )
     )
@@ -1132,6 +1140,23 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN tot ON tot.doc_id = d.doc_id
 LEFT JOIN cont ON cont.doc_id = d.doc_id
+"""
+    # media_probe: the fixture (multimodal.synth_probe_media) is closed-form
+    # in the row index — PNG dims 4+i%7 x 3+i%5, WAV rate 8000*(1+i%3) with
+    # 1+i%2 channels and 100*(i+1) frames, every 3rd row unparseable — so
+    # the oracle recomputes what the REAL byte-level parser must read out of
+    # the containers it generated. duration = n_frames*1000 // rate
+    # (integer division, mirroring probe_payload's arithmetic).
+    o["media_probe"] = """
+WITH r AS (SELECT unnest(range(0, 24)) AS i)
+SELECT i AS media_id,
+       CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'unknown' END AS container,
+       CASE WHEN i % 3 = 0 THEN (4 + i % 7)::DOUBLE END AS width,
+       CASE WHEN i % 3 = 0 THEN (3 + i % 5)::DOUBLE END AS height,
+       CASE WHEN i % 3 = 1 THEN (1 + i % 2)::DOUBLE END AS channels,
+       CASE WHEN i % 3 = 1 THEN (8000 * (1 + i % 3))::DOUBLE END AS sample_rate,
+       CASE WHEN i % 3 = 1 THEN ((100 * (i + 1)) * 1000 // (8000 * (1 + i % 3)))::DOUBLE END AS duration_ms
+FROM r
 """
     o["events_tumbling"] = """
 SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
