@@ -180,3 +180,38 @@ def test_phrase_positions_decode_candidate_blocks_only():
         wand.DECODE_STATS["pos_entries"], int(total_entries)
     )
     assert sorted(out["doc_id"].tolist()) == sorted(match_ids)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _corpora(draw):
+    n_docs = draw(st.integers(min_value=20, max_value=400))
+    n_terms = draw(st.integers(min_value=1, max_value=4))
+    postings = {}
+    for t in range(n_terms):
+        df = draw(st.integers(min_value=1, max_value=n_docs))
+        ids = sorted(draw(st.permutations(range(n_docs)))[:df])
+        postings[f"t{t}"] = [
+            (d, draw(st.integers(min_value=1, max_value=6))) for d in ids
+        ]
+    doc_lens = {d: draw(st.integers(min_value=5, max_value=200)) for d in range(n_docs)}
+    k = draw(st.integers(min_value=1, max_value=12))
+    return postings, doc_lens, n_docs, k
+
+
+@given(_corpora())
+@settings(max_examples=60, deadline=None)
+def test_block_skip_exact_property(corpus):
+    """Property: for ANY corpus and k, the block-skipping shard scorer's
+    top-k ids AND scores equal brute force (exactness of the skip criterion
+    under arbitrary df mixes, ties, and k larger than the candidate set)."""
+    postings, doc_lens, n_docs, k = corpus
+    avgdl = float(np.mean(list(doc_lens.values())))
+    packed = _pack_for_query(postings, doc_lens, avgdl, n_docs)
+    out = wand._shard_topk_factory(avgdl, k)(packed)
+    want_ids, want_scores = _brute_force(postings, doc_lens, avgdl, n_docs, k)
+    assert out["doc_id"].tolist() == want_ids
+    np.testing.assert_allclose(out["score"].to_numpy(), want_scores, rtol=0, atol=1e-12)
