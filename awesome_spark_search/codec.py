@@ -117,11 +117,13 @@ def delta_vbyte_encode_blocked(
     return buf, offsets[starts].copy(), v[starts].copy()
 
 
-def delta_vbyte_decode_blocked(buf: bytes, block: int = BLOCK) -> np.ndarray:
-    """Full decode of a block-restarted delta stream (inverse of
-    ``delta_vbyte_encode_blocked``), vectorized: one cumsum + a per-block
-    base subtraction."""
-    gaps = vbyte_decode(buf).astype(np.int64)
+def cumsum_block_restart(gaps: np.ndarray, block: int = BLOCK) -> np.ndarray:
+    """Gap stream -> values when the gap at every ``block``-th entry is
+    ABSOLUTE (the restart convention of delta_vbyte_encode_blocked).
+    Vectorized: one cumsum + a per-block base subtraction. The single
+    source of truth for the restart convention — full decode and the
+    partial (block-slice) decode in wand both call it."""
+    gaps = np.asarray(gaps, dtype=np.int64)
     n = gaps.size
     if n == 0:
         return np.zeros(0, dtype=np.int64)
@@ -132,6 +134,12 @@ def delta_vbyte_decode_blocked(buf: bytes, block: int = BLOCK) -> np.ndarray:
     base[1:] = cum[starts[1:] - 1]
     sizes = np.diff(np.append(starts, n))
     return cum - np.repeat(base, sizes)
+
+
+def delta_vbyte_decode_blocked(buf: bytes, block: int = BLOCK) -> np.ndarray:
+    """Full decode of a block-restarted delta stream (inverse of
+    ``delta_vbyte_encode_blocked``)."""
+    return cumsum_block_restart(vbyte_decode(buf), block)
 
 
 def decode_block_slice(buf: bytes, off: np.ndarray, i: int, j: int) -> np.ndarray:

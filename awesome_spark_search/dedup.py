@@ -290,20 +290,28 @@ def contamination_scores(
 
     Scale: both sides reduce to (doc_id, shingle_hash) keyed on uniform
     md5 hashes; the benchmark side collapses to a distinct hash set (small —
-    eval suites are tiny next to a training corpus, so AQE broadcasts it)
-    and the probe is one semi-join + two doc-keyed aggregations."""
+    eval suites are tiny next to a training corpus, so AQE broadcasts it).
+    The doc-side shingle chain (the dominant cost: tokenize -> explode ->
+    md5 -> distinct) runs ONCE: a left join marks benchmark hits, and a
+    single groupBy counts total and hit shingles together."""
     sh = shingles(docs, text_col, k)
-    bench = shingles(bench_docs, text_col, k).select("shingle_hash").distinct()
-    tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    cont = (
-        sh.join(bench, "shingle_hash", "left_semi")
+    bench = (
+        shingles(bench_docs, text_col, k)
+        .select("shingle_hash")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    agg = (
+        sh.join(bench, "shingle_hash", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),  # count skips NULLs
+        )
     )
     joined = (
         docs.select("doc_id")
-        .join(tot, "doc_id", "left")
-        .join(cont, "doc_id", "left")
+        .join(agg, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),

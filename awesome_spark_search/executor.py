@@ -304,7 +304,12 @@ class QueryExecutor:
         rows; the Arrow conversion is one batch, ~15x faster (measured).
         score uses the NULLABLE Float64 pandas dtype so Boolean/LinkTo
         queries' NULL scores stay NULL (a float64 NaN would NOT equal the
-        oracle's NULL)."""
+        oracle's NULL). The trailing nan->NULL projection makes that hold
+        under ANY caller session config: with
+        spark.sql.execution.arrow.pyspark.enabled=false (the Spark default
+        — the external driver's session is not ours to configure) the
+        Float64 NA lands as NaN, which the when() folds back to NULL; real
+        scores are finite BM25/QL sums, never NaN."""
         import pandas as pd
 
         pdf = pd.DataFrame(
@@ -313,7 +318,13 @@ class QueryExecutor:
                 "score": pd.array([r["score"] for r in rows], dtype="Float64"),
             }
         )
-        return self.spark.createDataFrame(pdf, self.RESULT_SCHEMA)
+        df = self.spark.createDataFrame(pdf, self.RESULT_SCHEMA)
+        return df.select(
+            "doc_id",
+            F.when(F.isnan("score"), F.lit(None).cast("double"))
+            .otherwise(F.col("score"))
+            .alias("score"),
+        )
 
     def search(self, query: str, k: int = 10) -> DataFrame:
         """Full pipeline. Returns (doc_id, score) for ranked query types,

@@ -101,7 +101,7 @@ def _decode_term_blocks(
     id_parts, tf_parts, dl_parts, blk_parts = [], [], [], []
     for bi, bj in zip(run_starts.tolist(), run_ends.tolist()):
         gaps = codec.decode_block_slice(ids_buf, doc_off, bi, bj).astype(np.int64)
-        id_parts.append(_cumsum_block_restart(gaps, codec.BLOCK))
+        id_parts.append(codec.cumsum_block_restart(gaps, codec.BLOCK))
         tf_parts.append(codec.decode_block_slice(tf_buf, tf_off, bi, bj))
         dl_parts.append(codec.decode_block_slice(dl_buf, dl_off, bi, bj))
         blk_parts.append(np.repeat(np.arange(bi, bj), counts[bi:bj]))
@@ -112,19 +112,6 @@ def _decode_term_blocks(
         np.concatenate(blk_parts),
     )
 
-
-def _cumsum_block_restart(gaps: np.ndarray, block: int) -> np.ndarray:
-    """cumsum over a gap stream whose value at every ``block``-th entry is
-    absolute (the restart convention of delta_vbyte_encode_blocked)."""
-    n = gaps.size
-    if n == 0:
-        return gaps.astype(np.int64)
-    cum = np.cumsum(gaps.astype(np.int64))
-    starts = np.arange(0, n, block, dtype=np.int64)
-    base = np.zeros(starts.size, dtype=np.int64)
-    base[1:] = cum[starts[1:] - 1]
-    sizes = np.diff(np.append(starts, n))
-    return cum - np.repeat(base, sizes)
 
 
 def _shard_topk_factory(avgdl: float, k: int):

@@ -132,7 +132,7 @@ def test_blocked_codec_slices_match_full_decode():
         assert np.array_equal(got, ids[b * codec.BLOCK : (b + 1) * codec.BLOCK])
     # multi-block run decodes with the restart-aware cumsum
     run = codec.decode_block_slice(buf, off, 2, 5).astype(np.int64)
-    got = wand._cumsum_block_restart(run, codec.BLOCK)
+    got = codec.cumsum_block_restart(run, codec.BLOCK)
     assert np.array_equal(got, ids[2 * codec.BLOCK : 5 * codec.BLOCK])
 
 

@@ -148,6 +148,25 @@ def test_unrestricted_dl_variant_changes_candidate_choice(spark):
     assert correct_terms(["aab"], ts, variant="osa") == {}
 
 
+def test_localize_null_scores_without_arrow(spark):
+    """Boolean/unranked scores must come back NULL (not NaN) regardless of
+    the caller session's Arrow conf — the external driver's session is not
+    ours to configure, and with arrow disabled a pandas Float64 NA lands as
+    NaN unless the plan folds it back to NULL."""
+    idx = _build(spark, [(0, "alpha beta"), (1, "beta gamma")])
+    ex = QueryExecutor(spark, idx)
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    old = spark.conf.get(key)
+    try:
+        for flag in ("false", "true"):
+            spark.conf.set(key, flag)
+            rows = ex.search("alpha AND beta", k=5).collect()
+            assert [r["doc_id"] for r in rows] == [0]
+            assert all(r["score"] is None for r in rows), (flag, rows)
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_lsh_exact_dup_prepass_and_bucket_cap(spark):
     """Boilerplate skew: k byte-identical docs alone would make a k^2 LSH
     bucket. The exact-dedup pre-pass collapses them to one canonical doc, and
