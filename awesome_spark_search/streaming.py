@@ -235,12 +235,31 @@ class IncrementalIndexer:
             os.path.join(out_dir, "doc_lens")
         )
 
-    def to_index(self, base: "Index | None" = None):
+    def to_index(
+        self,
+        base: "Index | None" = None,
+        *,
+        build_packed: bool = False,
+        doc_shard_size: int | None = None,
+    ):
         """Materialize a queryable Index over base + streamed deltas — the
         same QueryExecutor runs unchanged over a continuously-ingested
         corpus. term_stats/stats re-derive from the merged postings (cheap
-        aggregations; at scale run per compaction, not per query)."""
-        from .build import Index, IndexStats, term_bucket_col
+        aggregations; at scale run per compaction, not per query).
+
+        ``build_packed=True`` additionally packs the merged postings into
+        the delta+VByte block-directory form (same streaming packer as the
+        batch build), so a continuously-ingested corpus serves the
+        block-max WAND / positional phrase / boolean packed paths too —
+        run it per compaction, like term_stats."""
+        from .build import (
+            DEFAULT_DOC_SHARD_SIZE,
+            Index,
+            IndexStats,
+            PACKED_SCHEMA,
+            _pack_stream_factory,
+            term_bucket_col,
+        )
 
         postings = self.merged_postings(
             base.postings if base is not None else None
@@ -261,13 +280,33 @@ class IncrementalIndexer:
             F.coalesce(F.sum("doc_len"), F.lit(0)).alias("t"),
             F.coalesce(F.avg("doc_len"), F.lit(0.0)).alias("a"),
         ).collect()[0]
+        stats = IndexStats(row["n"], row["t"], float(row["a"]) or 1.0)
+        doc_map = doc_map.persist()
+        postings = postings.persist()
+        packed = None
+        shard = doc_shard_size or DEFAULT_DOC_SHARD_SIZE
+        if build_packed:
+            packed = (
+                postings.join(doc_map.select("doc_id", "doc_len"), "doc_id")
+                .withColumn(
+                    "doc_shard", (F.col("doc_id") / F.lit(shard)).cast("long")
+                )
+                .select("term", "doc_shard", "doc_id", "tf", "positions", "doc_len")
+                .repartition("term", "doc_shard")
+                .sortWithinPartitions("term", "doc_shard", "doc_id")
+                .mapInPandas(
+                    _pack_stream_factory(stats.avgdl, self.n_buckets), PACKED_SCHEMA
+                )
+                .persist()
+            )
         return Index(
-            doc_map=doc_map.persist(),
-            postings=postings.persist(),
+            doc_map=doc_map,
+            postings=postings,
             term_stats=term_stats.persist(),
-            packed=None,
-            stats=IndexStats(row["n"], row["t"], float(row["a"]) or 1.0),
+            packed=packed,
+            stats=stats,
             do_stem=self.do_stem,
+            doc_shard_size=shard,
         )
 
 

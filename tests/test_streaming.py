@@ -385,6 +385,56 @@ def test_tombstone_delete_reingest_and_query(spark, tmp_path):
     assert ex.search("apple", k=5).collect() == []
 
 
+def test_streamed_index_serves_packed_wand(spark, tmp_path):
+    """to_index(build_packed=True) packs the merged postings with the same
+    streaming packer as the batch build: the packed WAND/phrase/boolean
+    serving paths run over a continuously-ingested corpus and rank
+    identically to a batch build of the same final docs (including a
+    re-ingest whose old version must not leak into the packed form)."""
+    from awesome_spark_search.build import build_index
+    from awesome_spark_search.executor import QueryExecutor
+
+    delta_dir = str(tmp_path / "delta_pack")
+    ingest = IncrementalIndexer(spark, delta_dir, do_stem=False)
+    ingest.foreach_batch(
+        spark.createDataFrame(
+            [
+                (0, "merge buffer scan merge"),
+                (1, "buffer table scan"),
+                (2, "merge table value table"),
+            ],
+            "doc_id long, content string",
+        ),
+        0,
+    )
+    # re-ingest doc 1 with changed content; only the new version may pack
+    ingest.foreach_batch(
+        spark.createDataFrame(
+            [(1, "merge value buffer")], "doc_id long, content string"
+        ),
+        1,
+    )
+    sidx = ingest.to_index(build_packed=True, doc_shard_size=2)
+    assert sidx.packed is not None
+
+    final_docs = [
+        (0, "merge buffer scan merge"),
+        (1, "merge value buffer"),
+        (2, "merge table value table"),
+    ]
+    bidx = build_index(
+        spark,
+        spark.createDataFrame(final_docs, "doc_id long, content string"),
+        do_stem=False, build_packed=True, doc_shard_size=2,
+    )
+    ex_s = QueryExecutor(spark, sidx, use_packed=True)
+    ex_b = QueryExecutor(spark, bidx, use_packed=True)
+    for q in ["merge buffer", '"table value"', "merge AND buffer", "scan OR value"]:
+        got = [(r["doc_id"], r["score"]) for r in ex_s.search(q, k=10).collect()]
+        want = [(r["doc_id"], r["score"]) for r in ex_b.search(q, k=10).collect()]
+        assert got == want, q
+
+
 def test_tombstone_and_reingest_against_batch_base(spark, tmp_path):
     """The latest-wins + tombstone rules must also govern a batch-built base
     passed to to_index: a tombstoned base doc leaves n_docs/avgdl and every
