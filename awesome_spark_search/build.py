@@ -181,6 +181,16 @@ def _pack_many(pdf: pd.DataFrame, avgdl: float, n_buckets: int) -> pd.DataFrame:
         tfs_vb, tf_off = codec.vbyte_encode_blocked(t.astype(np.uint64))
         dls_vb, dl_off = codec.vbyte_encode_blocked(dls[s:e].astype(np.uint64))
         pos_vb, pos_enc_off = codec._vbyte_encode_with_offsets(stream)
+        # the blk_* directories are stored int32: a blob past 2^31 bytes would
+        # silently wrap the offsets and corrupt block slicing. Unreachable at
+        # the default doc_shard_size (2^20 docs * <=10B/varint), but guard the
+        # invariant rather than assume it — fail the build loudly instead.
+        if len(pos_vb) >= 2**31 or len(ids_vb) >= 2**31:
+            raise ValueError(
+                f"packed blob for term={terms[s]!r} doc_shard={int(shards[s])} "
+                f"exceeds int32 offset range ({len(pos_vb)} bytes); "
+                "lower doc_shard_size"
+            )
         # stream entry index of doc j's tf marker = (cum tf before j) + j;
         # take it at each 128-doc block head -> byte offset into pos_vb
         blk_heads = np.arange(0, k, codec.BLOCK, dtype=np.int64)

@@ -125,9 +125,13 @@ def correct_terms(
 
     The reference corrects every missing token within one query pass
     (ref: QueryProcessor.java:397-417); running ``correct_term`` per token
-    costs one dictionary-scan job each. Batched shape: one bucket-pruned
-    dictionary scan whose candidate predicate is the OR of every target's
-    (first-char, length band), crossed with the broadcast target list,
+    costs one dictionary-scan job each. Batched shape: one dictionary scan
+    whose candidate predicate is the OR of every target's (first-char,
+    length band) — term_bucket pruning does NOT apply here: the bucket is a
+    hash of the *correct* spelling, which is unknowable from the typo, so
+    the scan is full-dictionary by necessity (pushed filters still skip most
+    row groups via Parquet term min/max stats). Candidates are then crossed
+    with the broadcast target list,
     one Arrow-batched pair-distance pass, then
     ``groupBy(target).min(struct(distance, -cf, term))`` — the struct min
     reproduces the (distance ASC, cf DESC, term ASC) tie-break exactly.

@@ -109,6 +109,16 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # compiles identically under Java regex (Spark) and RE2 (DuckDB) and both
 # engines produce the same match set (no leftmost-first vs leftmost-longest
 # divergence without alternation; greedy quantifiers agree).
+#
+# KNOWN LIMITATION (deliberate): PII_IPV4 has no word-boundary guards and no
+# per-octet <=255 check — it matches digit-run substrings (inside
+# '12345.6.7.8901' or the semver '1.2.3.4') and accepts '999.999.999.999'.
+# Boundary anchors need lookaround (absent from RE2) or alternation (breaks
+# the leftmost-first/leftmost-longest parity above), so the pattern stays
+# symmetric-but-loose on BOTH engines: redaction slightly over-matches,
+# which is the safe direction for PII scrubbing (never under-redacts a real
+# dotted quad). Consumers needing exact IPv4 semantics should post-filter
+# the redacted spans JVM-side.
 PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
 PII_PHONE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
 PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"

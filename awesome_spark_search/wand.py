@@ -44,12 +44,13 @@ RESULT_SCHEMA = T.StructType(
 
 # decoded-postings instrumentation (per-process; in distributed runs each
 # Python worker counts its own shards — the test calls the shard fn directly)
-DECODE_STATS = {"postings": 0, "pos_entries": 0}
+DECODE_STATS = {"postings": 0, "pos_entries": 0, "dl_entries": 0}
 
 
 def reset_decode_stats() -> None:
     DECODE_STATS["postings"] = 0
     DECODE_STATS["pos_entries"] = 0
+    DECODE_STATS["dl_entries"] = 0
 
 
 def _sorted_member(sorted_ids: np.ndarray, ids: np.ndarray) -> np.ndarray:
@@ -276,6 +277,26 @@ def _positions_for_docs(
     return out
 
 
+def _sliced_posting_values(
+    buf: bytes, off: np.ndarray, pos_in_t: np.ndarray
+) -> np.ndarray:
+    """Per-posting values (a non-delta varint stream: dls or tfs) at posting
+    positions ``pos_in_t`` within one term's list, decoding ONLY the
+    128-posting blocks that contain them via the per-block byte-offset
+    directory — untouched blocks' bytes are never inflated."""
+    blk = pos_in_t // codec.BLOCK
+    idx = np.unique(blk)
+    run_starts = idx[np.r_[True, np.diff(idx) > 1]]
+    run_ends = idx[np.r_[np.diff(idx) > 1, True]] + 1
+    out = np.empty(pos_in_t.size, dtype=np.int64)
+    for bi, bj in zip(run_starts.tolist(), run_ends.tolist()):
+        seg = codec.decode_block_slice(buf, off, bi, bj)
+        DECODE_STATS["dl_entries"] += seg.size
+        in_run = (blk >= bi) & (blk < bj)
+        out[in_run] = seg[pos_in_t[in_run] - bi * codec.BLOCK]
+    return out
+
+
 def _phrase_shard_factory(terms: list[str], avgdl: float, k: int):
     """applyInPandas: packed rows of the phrase terms in one doc_shard ->
     local top-k of docs containing the exact phrase (ref adjacency
@@ -331,13 +352,15 @@ def _phrase_shard_factory(terms: list[str], avgdl: float, k: int):
                 return empty
         survivors = np.fromiter(sorted(cur), np.int64)
         # doc lengths decode from the first term's blob (survivors are a
-        # subset of every phrase term's posting list); dl blocks could be
-        # sliced too, but the dl blob is 1-2 bytes/posting — noise next to
-        # the position stream this path now skips
-        dls_all = codec.vbyte_decode(
-            bytes(rows[distinct_terms[0]]["dls_vb"])
+        # subset of every phrase term's posting list), sliced to survivors'
+        # blocks via blk_dl_off — at 1M-posting shards the full-blob varint
+        # pass this replaces was the last per-term O(n) decode on this path
+        r0 = rows[distinct_terms[0]]
+        dls = _sliced_posting_values(
+            bytes(r0["dls_vb"]),
+            np.asarray(r0["blk_dl_off"], dtype=np.int64),
+            np.searchsorted(ids[distinct_terms[0]], survivors),
         ).astype(np.float64)
-        dls = dls_all[np.searchsorted(ids[distinct_terms[0]], survivors)]
         scores = np.zeros(len(survivors), np.float64)
         for t in distinct_terms:
             tf = tfs[t][np.searchsorted(ids[t], survivors)].astype(np.float64)

@@ -179,6 +179,12 @@ def test_phrase_positions_decode_candidate_blocks_only():
     assert wand.DECODE_STATS["pos_entries"] * 10 <= total_entries, (
         wand.DECODE_STATS["pos_entries"], int(total_entries)
     )
+    # doc lengths likewise slice to survivors' blocks (blk_dl_off): the 3
+    # adjacency survivors live in <= 3 blocks of the 20k-posting dl blob
+    total_postings = len(pdf)
+    assert 0 < wand.DECODE_STATS["dl_entries"] * 10 <= total_postings, (
+        wand.DECODE_STATS["dl_entries"], total_postings
+    )
     assert sorted(out["doc_id"].tolist()) == sorted(match_ids)
 
 
