@@ -41,6 +41,7 @@ class QueryExecutor:
         index: Index,
         *,
         citations: DataFrame | None = None,
+        packed_citations: DataFrame | None = None,
         source_df: DataFrame | None = None,
         scorer: str = "bm25",
         n_term_buckets: int = DEFAULT_TERM_BUCKETS,
@@ -49,6 +50,7 @@ class QueryExecutor:
         self.spark = spark
         self.index = index
         self.citations = citations
+        self.packed_citations = packed_citations
         self.source_df = source_df
         self.scorer = scorer
         self.n_buckets = n_term_buckets
@@ -236,6 +238,15 @@ class QueryExecutor:
         return self._matches(ast).select("doc_id").distinct()
 
     def _linkto_docs(self, ast: Q.LinkTo) -> DataFrame:
+        """LinkTo serves off the PACKED citation index when present
+        (delta+VByte citing lists, ref: CitationIndexReader.java:61-112 — the
+        reference's serving path IS the compressed index): the dst filter
+        prunes to the target's few rows before any decode. Plain edge rows
+        are the fallback."""
+        if self.packed_citations is not None:
+            from .pagerank import citations_of_packed
+
+            return citations_of_packed(self.packed_citations, ast.doc_id)
         if self.citations is None:
             raise ValueError("LinkTo query requires a citations DataFrame")
         return self.citations.filter(F.col("dst") == ast.doc_id).select(
@@ -353,10 +364,14 @@ class QueryExecutor:
         return self._localize(rows)
 
     def _run_once(self, pq: Q.ParsedQuery, k: int) -> list:
-        if self.use_packed and self.scorer == "bm25" and pq.prf == 0:
+        if self.use_packed and self.scorer == "bm25":
             from . import wand as _wand
 
-            if isinstance(pq.ast, Q.Keyword):
+            if pq.prf > 0 and isinstance(pq.ast, Q.Keyword):
+                rows = self._packed_prf(pq, k)
+                if rows is not None:
+                    return rows
+            if pq.prf == 0 and isinstance(pq.ast, Q.Keyword):
                 exact, prefixes, _ = self.resolve_terms(pq.ast.terms)
                 expanded = self._expand_prefixes(prefixes)
                 if expanded is not None:
@@ -364,13 +379,24 @@ class QueryExecutor:
                         self.spark, self.index, exact + expanded, k=k,
                         n_term_buckets=self.n_buckets,
                     ).collect()
-            if isinstance(pq.ast, Q.Phrase):
+            if pq.prf == 0 and isinstance(pq.ast, Q.Phrase):
                 terms, _, _ = self.resolve_terms(pq.ast.terms, dedupe=False)
                 return _wand.phrase_topk(
                     self.spark, self.index, terms, k=k,
                     n_term_buckets=self.n_buckets,
                 ).collect()
-            if isinstance(pq.ast, Q.Boolean):
+            if pq.prf == 0 and isinstance(pq.ast, Q.Mixed):
+                ph_terms, _, _ = self.resolve_terms(
+                    pq.ast.phrase.terms, dedupe=False
+                )
+                exact, prefixes, _ = self.resolve_terms(pq.ast.keyword.terms)
+                expanded = self._expand_prefixes(prefixes)
+                if ph_terms and expanded is not None:
+                    return _wand.mixed_topk(
+                        self.spark, self.index, ph_terms, exact + expanded,
+                        k=k, n_term_buckets=self.n_buckets,
+                    ).collect()
+            if pq.prf == 0 and isinstance(pq.ast, Q.Boolean):
                 spec = self._packed_bool_spec(pq.ast)
                 if spec is not None:
                     return _wand.boolean_docs(
@@ -403,6 +429,44 @@ class QueryExecutor:
             else:
                 return top
         return scored.collect()
+
+    def _packed_prf(self, pq: Q.ParsedQuery, k: int) -> list | None:
+        """Two-pass pseudo-relevance feedback entirely off the packed index:
+        pass-1 is block-max WAND, expansion terms come from the generated
+        snippets (identical driver-side machinery as the DataFrame path),
+        pass-2 is WAND again with expansion terms down-weighted to 0.25 —
+        the weight folds into idf because BM25 contributions are linear in it
+        (ref: DocumentRanker.java:175-185 weights PRF terms the same way).
+        Returns None when a prefix can't be dictionary-expanded — the caller
+        falls back to the long-table plan."""
+        from . import wand as _wand
+
+        exact, prefixes, _ = self.resolve_terms(pq.ast.terms)
+        expanded = self._expand_prefixes(prefixes)
+        if expanded is None:
+            return None
+        base = exact + expanded
+        top = _wand.wand_topk(
+            self.spark, self.index, base, k=k, n_term_buckets=self.n_buckets
+        ).collect()
+        prf_terms = self._prf_terms(pq, top, pq.prf)
+        if not prf_terms:
+            return top
+        pq.prf_terms = prf_terms
+        # _prf_terms filters against the RAW query tokens, so an expansion
+        # term can coincide with a CORRECTED base term; the long-table plan
+        # then scores it at weight 1.0 + 0.25 (both unioned posting sets) —
+        # mirror that exactly
+        base_set = set(base)
+        weights = {
+            t: (1.0 + scoring.PRF_WEIGHT) if t in base_set else scoring.PRF_WEIGHT
+            for t in prf_terms
+        }
+        all_terms = base + [t for t in prf_terms if t not in base_set]
+        return _wand.wand_topk(
+            self.spark, self.index, all_terms, k=k,
+            n_term_buckets=self.n_buckets, weights=weights,
+        ).collect()
 
     def _expand_prefixes(self, prefixes: list[str]) -> list[str] | None:
         """Resolve prefix terms against the cached dictionary. [] when there

@@ -115,11 +115,19 @@ def _decode_term_blocks(
 
 
 
-def _shard_topk_factory(avgdl: float, k: int):
-    """Returns the applyInPandas fn: packed rows of one doc_shard ->
-    local top-k. Doc lengths are decoded from the blob itself (dls_vb), so
-    no doc_map join/cogroup happens at query time; per-term idf arrives as a
-    column (broadcast-joined) so the whole query is ONE Spark action.
+def _wand_pass(
+    term_rows: list,
+    avgdl: float,
+    k: int,
+    cand_ids: np.ndarray,
+    cand_scores: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The block-max WAND loop over ``term_rows`` (list of
+    ``(idf, block_max ndarray, packed row)``), merge-adding contributions
+    into the seed score vectors ``(cand_ids sorted unique, cand_scores)``.
+    Seeds let a caller pre-score docs from another plan (phrase survivors in
+    a Mixed query) — the admission invariant still holds because after
+    seeding, the only remaining score mass is the listed terms' bounds.
 
     Block-level skipping (exact — returned scores are bit-identical to the
     exhaustive plan): terms iterate in descending bound order; once k
@@ -136,93 +144,109 @@ def _shard_topk_factory(avgdl: float, k: int):
     candidate-range-only block are masked to existing candidates, which is
     score-safe: such a doc's max achievable total from term i onward is
     below theta <= the final k-th best."""
+    # order terms by bound desc
+    rows = []
+    for idf, bm, r in term_rows:
+        bound = idf * (bm.max() if bm.size else 0.0)
+        rows.append((bound, idf, bm, r))
+    rows.sort(key=lambda x: -x[0])
+    bounds = np.array([b for b, _, _, _ in rows], dtype=np.float64)
+    # suffix_after[i] = sum of bounds of terms AFTER i
+    suffix_after = np.zeros(len(rows), dtype=np.float64)
+    if len(rows) > 1:
+        suffix_after[:-1] = np.cumsum(bounds[::-1])[::-1][1:]
 
-    def shard_topk(left: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+    theta = (  # k-th best so far (seeds may already hold >= k candidates)
+        float(np.partition(cand_scores, -k)[-k])
+        if cand_ids.size >= k
+        else -np.inf
+    )
+    for i, (bound, idf, bm, r) in enumerate(rows):
+        rest_after = float(suffix_after[i])
+        n = int(r["n"])
+        nb = bm.size
+        counts = np.full(nb, codec.BLOCK, dtype=np.int64)
+        if nb:
+            counts[-1] = n - codec.BLOCK * (nb - 1)
+        if cand_ids.size >= k:
+            admit = idf * bm + rest_after >= theta
+            if admit.all():
+                need = None
+            else:
+                first_doc = np.asarray(r["blk_first_doc"], dtype=np.int64)
+                lo = np.searchsorted(cand_ids, first_doc)
+                hi = np.append(lo[1:], cand_ids.size)
+                need = admit | (hi > lo)
+                if not need.any():
+                    continue
+        else:
+            admit = None  # decode + admit everything until k candidates
+            need = None
+        doc_ids, tfs, dls, blk = _decode_term_blocks(r, need, counts)
+        DECODE_STATS["postings"] += doc_ids.size
+        contrib = idf * tfs / (tfs + K1 * (1 - B + B * dls / avgdl))
+        if admit is not None and not admit.all():
+            # mask candidate-range-only blocks' postings to existing
+            # candidates (blk is None when every block was decoded)
+            posting_admit = (
+                np.repeat(admit, counts) if blk is None else admit[blk]
+            )
+            keep = posting_admit | _sorted_member(cand_ids, doc_ids)
+            doc_ids, contrib = doc_ids[keep], contrib[keep]
+        cand_ids, cand_scores = _merge_scores(
+            cand_ids, cand_scores, doc_ids, contrib
+        )
+        if cand_ids.size >= k:
+            theta = float(np.partition(cand_scores, -k)[-k])
+    return cand_ids, cand_scores
+
+
+def _local_topk(cand_ids: np.ndarray, cand_scores: np.ndarray, k: int) -> pd.DataFrame:
+    """Score vectors -> the shard-local top-k frame (score DESC, doc_id ASC)."""
+    if cand_ids.size == 0:
+        return pd.DataFrame({"doc_id": [], "score": []}).astype(
             {"doc_id": "int64", "score": "float64"}
         )
-        if left.empty:
-            return empty
-        # order terms by bound desc
-        rows = []
-        for _, r in left.iterrows():
-            idf = float(r["idf"])
-            bm = np.asarray(r["block_max"], dtype=np.float64)
-            bound = idf * (bm.max() if bm.size else 0.0)
-            rows.append((bound, idf, bm, r))
-        rows.sort(key=lambda x: -x[0])
-        bounds = np.array([b for b, _, _, _ in rows], dtype=np.float64)
-        # suffix_after[i] = sum of bounds of terms AFTER i
-        suffix_after = np.zeros(len(rows), dtype=np.float64)
-        if len(rows) > 1:
-            suffix_after[:-1] = np.cumsum(bounds[::-1])[::-1][1:]
+    take = min(k, cand_ids.size)
+    sel = np.lexsort((cand_ids, -cand_scores))[:take]
+    return pd.DataFrame({"doc_id": cand_ids[sel], "score": cand_scores[sel]})
 
-        cand_ids = np.zeros(0, dtype=np.int64)      # sorted unique
-        cand_scores = np.zeros(0, dtype=np.float64)
-        theta = -np.inf  # k-th best so far
-        for i, (bound, idf, bm, r) in enumerate(rows):
-            rest_after = float(suffix_after[i])
-            n = int(r["n"])
-            nb = bm.size
-            counts = np.full(nb, codec.BLOCK, dtype=np.int64)
-            if nb:
-                counts[-1] = n - codec.BLOCK * (nb - 1)
-            if cand_ids.size >= k:
-                admit = idf * bm + rest_after >= theta
-                if admit.all():
-                    need = None
-                else:
-                    first_doc = np.asarray(r["blk_first_doc"], dtype=np.int64)
-                    lo = np.searchsorted(cand_ids, first_doc)
-                    hi = np.append(lo[1:], cand_ids.size)
-                    need = admit | (hi > lo)
-                    if not need.any():
-                        continue
-            else:
-                admit = None  # decode + admit everything until k candidates
-                need = None
-            doc_ids, tfs, dls, blk = _decode_term_blocks(r, need, counts)
-            DECODE_STATS["postings"] += doc_ids.size
-            contrib = idf * tfs / (tfs + K1 * (1 - B + B * dls / avgdl))
-            if admit is not None and not admit.all():
-                # mask candidate-range-only blocks' postings to existing
-                # candidates (blk is None when every block was decoded)
-                posting_admit = (
-                    np.repeat(admit, counts) if blk is None else admit[blk]
-                )
-                keep = posting_admit | _sorted_member(cand_ids, doc_ids)
-                doc_ids, contrib = doc_ids[keep], contrib[keep]
-            cand_ids, cand_scores = _merge_scores(
-                cand_ids, cand_scores, doc_ids, contrib
-            )
-            if cand_ids.size >= k:
-                theta = float(np.partition(cand_scores, -k)[-k])
-        if cand_ids.size == 0:
-            return empty
-        take = min(k, cand_ids.size)
-        sel = np.lexsort((cand_ids, -cand_scores))[:take]
-        return pd.DataFrame({"doc_id": cand_ids[sel], "score": cand_scores[sel]})
+
+def _term_rows(left: pd.DataFrame) -> list:
+    """Packed pandas rows -> [(idf, block_max ndarray, row), ...]."""
+    return [
+        (float(r["idf"]), np.asarray(r["block_max"], dtype=np.float64), r)
+        for _, r in left.iterrows()
+    ]
+
+
+def _shard_topk_factory(avgdl: float, k: int):
+    """Returns the applyInPandas fn: packed rows of one doc_shard ->
+    local top-k (the ``_wand_pass`` loop with empty seeds). Doc lengths are
+    decoded from the blob itself (dls_vb), so no doc_map join/cogroup happens
+    at query time; per-term idf arrives as a column (broadcast-joined) so the
+    whole query is ONE Spark action."""
+
+    def shard_topk(left: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return _local_topk(np.zeros(0, np.int64), np.zeros(0, np.float64), k)
+        cand_ids, cand_scores = _wand_pass(
+            _term_rows(left), avgdl, k,
+            np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64),
+        )
+        return _local_topk(cand_ids, cand_scores, k)
 
     return shard_topk
 
 
-def wand_topk(
-    spark: SparkSession,
-    index: Index,
-    terms: list[str],
-    k: int = 10,
-    n_term_buckets: int = 64,
+def _packed_with_idf(
+    index: Index, terms: list[str], n_term_buckets: int,
+    weights: dict[str, float] | None = None,
 ) -> DataFrame:
-    """Top-k BM25 via block-max WAND on the packed index. Result is
-    rank-identical to the DataFrame BM25 path (verified in tests).
-
-    ONE Spark action: the per-term idf is attached via a broadcast join of
-    the (bucket-pruned, term-filtered) term_stats rows onto the packed rows
-    instead of a separate driver-side collect — halves the per-query fixed
-    cost on the serving path."""
-    assert index.packed is not None, "index built without packed postings"
-    if not terms:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+    """Bucket-pruned packed rows of ``terms`` with a broadcast-joined idf
+    column (weights, when given, are folded into idf — BM25 contributions
+    are linear in idf, so ``w * idf`` IS the weighted score; the PRF pass-2
+    down-weights its expansion terms this way, ref DocumentRanker.java:38)."""
     st = index.stats
     buckets = sorted({_py_term_bucket(t, n_term_buckets) for t in terms})
     ts = (
@@ -231,13 +255,67 @@ def wand_topk(
         .withColumn("idf", idf_col(F.col("df"), st.n_docs))
         .select("term", "idf")
     )
-    packed = (
+    if weights:
+        wmap = F.create_map(
+            *[F.lit(x) for t, w in weights.items() for x in (t, float(w))]
+        )
+        ts = ts.withColumn(
+            "idf", F.col("idf") * F.coalesce(wmap[F.col("term")], F.lit(1.0))
+        )
+    return (
         index.packed.filter(F.col("term_bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
         .join(F.broadcast(ts), "term")
     )
+
+
+def wand_topk(
+    spark: SparkSession,
+    index: Index,
+    terms: list[str],
+    k: int = 10,
+    n_term_buckets: int = 64,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Top-k BM25 via block-max WAND on the packed index. Result is
+    rank-identical to the DataFrame BM25 path (verified in tests).
+    ``weights`` scales per-term contributions (PRF expansion terms at 0.25);
+    unlisted terms default to 1.0.
+
+    ONE Spark action: the per-term idf is attached via a broadcast join of
+    the (bucket-pruned, term-filtered) term_stats rows onto the packed rows
+    instead of a separate driver-side collect — halves the per-query fixed
+    cost on the serving path."""
+    assert index.packed is not None, "index built without packed postings"
+    if not terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    packed = _packed_with_idf(index, terms, n_term_buckets, weights)
     local = packed.groupBy("doc_shard").applyInPandas(
-        _shard_topk_factory(st.avgdl, k), RESULT_SCHEMA
+        _shard_topk_factory(index.stats.avgdl, k), RESULT_SCHEMA
+    )
+    return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def mixed_topk(
+    spark: SparkSession,
+    index: Index,
+    phrase_terms: list[str],
+    keyword_terms: list[str],
+    k: int = 10,
+    n_term_buckets: int = 64,
+) -> DataFrame:
+    """Mixed-query top-k ('"exact phrase" extra words') entirely off the
+    packed index, ONE Spark action: every term's packed rows arrive in one
+    bucket-pruned scan, and each doc_shard runs phrase-eval + seeded WAND in
+    a single applyInPandas pass (ref: QueryProcessor.java:328-331)."""
+    assert index.packed is not None, "index built without packed postings"
+    if not phrase_terms and not keyword_terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    all_terms = list(dict.fromkeys([*phrase_terms, *keyword_terms]))
+    packed = _packed_with_idf(index, all_terms, n_term_buckets)
+    local = packed.groupBy("doc_shard").applyInPandas(
+        _mixed_shard_factory(phrase_terms, keyword_terms, index.stats.avgdl, k),
+        RESULT_SCHEMA,
     )
     return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
@@ -297,42 +375,39 @@ def _sliced_posting_values(
     return out
 
 
-def _phrase_shard_factory(terms: list[str], avgdl: float, k: int):
-    """applyInPandas: packed rows of the phrase terms in one doc_shard ->
-    local top-k of docs containing the exact phrase (ref adjacency
-    semantics: QueryProcessor.java:223-293). idf arrives as a joined column
-    (one Spark action per query, like wand_topk).
+def _phrase_eval(
+    rows: dict, terms: list[str], avgdl: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-phrase evaluation within one doc_shard (ref adjacency
+    semantics: QueryProcessor.java:223-293). ``rows`` maps term -> packed
+    pandas row (idf joined in). Returns (survivor doc_ids sorted ASC, their
+    summed BM25 scores over the phrase's distinct terms) — empty arrays when
+    a term is missing from the shard or no doc holds the phrase.
 
     Two-stage decode, scalable at 1M-posting shards: stage 1 intersects the
     cheap doc_id blobs of all phrase terms (docs missing any term can never
     match); stage 2 decodes POSITIONS only for the blocks that contain the
     surviving docs, via the blk_pos_off directory — the position stream is
     the largest blob and for selective phrases almost none of it is read."""
+    no_match = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
     distinct_terms = list(dict.fromkeys(terms))
-
-    def shard_phrase(left: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
-            {"doc_id": "int64", "score": "float64"}
-        )
-        if left.empty:
-            return empty
-        rows = {r["term"]: r for _, r in left.iterrows()}
-        if any(t not in rows for t in distinct_terms):
-            return empty
-        # stage 1: doc-level intersection from the doc_id blobs only
-        ids = {
-            t: codec.delta_vbyte_decode_blocked(bytes(rows[t]["doc_ids_vb"]))
-            for t in distinct_terms
-        }
-        surv = ids[distinct_terms[0]]
-        for t in distinct_terms[1:]:
-            surv = np.intersect1d(surv, ids[t], assume_unique=True)
-            if surv.size == 0:
-                return empty
-        tfs = {
-            t: codec.vbyte_decode(bytes(rows[t]["tfs_vb"])).astype(np.int64)
-            for t in distinct_terms
-        }
+    if any(t not in rows for t in distinct_terms):
+        return no_match
+    # stage 1: doc-level intersection from the doc_id blobs only
+    ids = {
+        t: codec.delta_vbyte_decode_blocked(bytes(rows[t]["doc_ids_vb"]))
+        for t in distinct_terms
+    }
+    surv = ids[distinct_terms[0]]
+    for t in distinct_terms[1:]:
+        surv = np.intersect1d(surv, ids[t], assume_unique=True)
+        if surv.size == 0:
+            return no_match
+    tfs = {
+        t: codec.vbyte_decode(bytes(rows[t]["tfs_vb"])).astype(np.int64)
+        for t in distinct_terms
+    }
+    if len(terms) > 1:
         # stage 2: candidate-block-only position decode per term
         pos = {
             t: _positions_for_docs(rows[t], ids[t], tfs[t], surv)
@@ -349,29 +424,84 @@ def _phrase_shard_factory(terms: list[str], avgdl: float, k: int):
                 if len(hits := np.intersect1d(p + 1, nxt[d], assume_unique=True))
             }
             if not cur:
-                return empty
+                return no_match
         survivors = np.fromiter(sorted(cur), np.int64)
-        # doc lengths decode from the first term's blob (survivors are a
-        # subset of every phrase term's posting list), sliced to survivors'
-        # blocks via blk_dl_off — at 1M-posting shards the full-blob varint
-        # pass this replaces was the last per-term O(n) decode on this path
-        r0 = rows[distinct_terms[0]]
-        dls = _sliced_posting_values(
-            bytes(r0["dls_vb"]),
-            np.asarray(r0["blk_dl_off"], dtype=np.int64),
-            np.searchsorted(ids[distinct_terms[0]], survivors),
-        ).astype(np.float64)
-        scores = np.zeros(len(survivors), np.float64)
-        for t in distinct_terms:
-            tf = tfs[t][np.searchsorted(ids[t], survivors)].astype(np.float64)
-            scores += float(rows[t]["idf"]) * tf / (
-                tf + K1 * (1 - B + B * dls / avgdl)
-            )
-        take = min(k, len(survivors))
-        sel = np.lexsort((survivors, -scores))[:take]
-        return pd.DataFrame({"doc_id": survivors[sel], "score": scores[sel]})
+    else:
+        # a one-word "phrase" matches wherever the word occurs — no
+        # adjacency to check, so the position stream is never touched
+        survivors = surv
+    # doc lengths decode from the first term's blob (survivors are a
+    # subset of every phrase term's posting list), sliced to survivors'
+    # blocks via blk_dl_off — at 1M-posting shards the full-blob varint
+    # pass this replaces was the last per-term O(n) decode on this path
+    r0 = rows[distinct_terms[0]]
+    dls = _sliced_posting_values(
+        bytes(r0["dls_vb"]),
+        np.asarray(r0["blk_dl_off"], dtype=np.int64),
+        np.searchsorted(ids[distinct_terms[0]], survivors),
+    ).astype(np.float64)
+    scores = np.zeros(len(survivors), np.float64)
+    for t in distinct_terms:
+        tf = tfs[t][np.searchsorted(ids[t], survivors)].astype(np.float64)
+        scores += float(rows[t]["idf"]) * tf / (
+            tf + K1 * (1 - B + B * dls / avgdl)
+        )
+    return survivors, scores
+
+
+def _phrase_shard_factory(terms: list[str], avgdl: float, k: int):
+    """applyInPandas: packed rows of the phrase terms in one doc_shard ->
+    local top-k of docs containing the exact phrase (``_phrase_eval``). idf
+    arrives as a joined column (one Spark action per query, like wand_topk)."""
+
+    def shard_phrase(left: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return _local_topk(np.zeros(0, np.int64), np.zeros(0, np.float64), k)
+        rows = {r["term"]: r for _, r in left.iterrows()}
+        survivors, scores = _phrase_eval(rows, terms, avgdl)
+        return _local_topk(survivors, scores, k)
 
     return shard_phrase
+
+
+def _mixed_shard_factory(
+    phrase_terms: list[str], keyword_terms: list[str], avgdl: float, k: int
+):
+    """applyInPandas: packed rows of ALL the query's terms in one doc_shard
+    -> local top-k of the Mixed query (ref: QueryProcessor.java:328-331
+    dispatches phrase + remaining keywords against the same index).
+
+    Semantics mirror the DataFrame plan (``QueryExecutor._matches`` unions
+    phrase-survivor postings with keyword postings before scoring): phrase
+    survivors seed the candidate set with their phrase-term BM25 mass, then
+    the block-max WAND loop adds every keyword term's contributions — to all
+    matching docs, survivors included (a term in both lists counts twice for
+    survivors, exactly like the unioned long-table plan). Seeding first keeps
+    the skip criterion exact: after the seeds, keyword bounds are the only
+    remaining mass, so the standard admission invariant applies unchanged."""
+    kw_distinct = list(dict.fromkeys(keyword_terms))
+
+    def shard_mixed(left: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return _local_topk(np.zeros(0, np.int64), np.zeros(0, np.float64), k)
+        rows = {r["term"]: r for _, r in left.iterrows()}
+        cand_ids, cand_scores = _phrase_eval(rows, phrase_terms, avgdl)
+        kw_rows = [
+            (
+                float(rows[t]["idf"]),
+                np.asarray(rows[t]["block_max"], dtype=np.float64),
+                rows[t],
+            )
+            for t in kw_distinct
+            if t in rows
+        ]
+        if kw_rows:
+            cand_ids, cand_scores = _wand_pass(
+                kw_rows, avgdl, k, cand_ids, cand_scores
+            )
+        return _local_topk(cand_ids, cand_scores, k)
+
+    return shard_mixed
 
 
 def phrase_topk(
@@ -388,25 +518,13 @@ def phrase_topk(
     assert index.packed is not None, "index built without packed postings"
     if not terms:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    st = index.stats
     distinct_terms = list(dict.fromkeys(terms))
-    buckets = sorted({_py_term_bucket(t, n_term_buckets) for t in distinct_terms})
-    ts = (
-        index.term_stats.filter(F.col("term_bucket").isin(buckets))
-        .filter(F.col("term").isin(distinct_terms))
-        .withColumn("idf", idf_col(F.col("df"), st.n_docs))
-        .select("term", "idf")
-    )
     # a phrase term missing from the whole index means no shard has all the
     # terms, so every shard returns empty via its own completeness check —
     # no driver-side existence collect needed
-    packed = (
-        index.packed.filter(F.col("term_bucket").isin(buckets))
-        .filter(F.col("term").isin(distinct_terms))
-        .join(F.broadcast(ts), "term")
-    )
+    packed = _packed_with_idf(index, distinct_terms, n_term_buckets)
     local = packed.groupBy("doc_shard").applyInPandas(
-        _phrase_shard_factory(terms, st.avgdl, k), RESULT_SCHEMA
+        _phrase_shard_factory(terms, index.stats.avgdl, k), RESULT_SCHEMA
     )
     return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 

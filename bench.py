@@ -51,10 +51,9 @@ def run(sf_dir: str, cpus: int, do_stem: bool = True) -> dict:
 
     def _build():
         # cache_postings=False: every timed query below serves off the packed
-        # index; skipping the long-table cache-write keeps the build number
-        # about indexing, not double-buffering. NOTE: idx.postings is
-        # therefore NOT warm — a postings-path query added here would
-        # re-tokenize per call; keep bench queries on the packed paths.
+        # index (ALL query types — keyword/phrase/boolean/prefix/mixed/PRF —
+        # dispatch to packed plans now); skipping the long-table cache-write
+        # keeps the build number about indexing, not double-buffering.
         idx = build_index(spark, src, do_stem=do_stem, build_packed=True,
                           cache_postings=False)
         # force full materialization: packed.count() runs the whole
@@ -78,6 +77,8 @@ def run(sf_dir: str, cpus: int, do_stem: bool = True) -> dict:
     timed("q_phrase", lambda: ex.search('"table value"', k=10).collect())
     timed("q_bool_and", lambda: ex.search("merge AND batch", k=10).collect())
     timed("q_prefix", lambda: ex.search("sc*", k=10).collect())
+    timed("q_mixed", lambda: ex.search('"table value" merge', k=10).collect())
+    timed("q_prf", lambda: ex.search("merge batch #3", k=10).collect())
 
     wand_terms = ex._tokenize_query("merge batch table")
     timed("q_wand_topk", lambda: wand_topk(spark, idx, wand_terms, k=10).collect())

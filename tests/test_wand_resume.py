@@ -80,6 +80,85 @@ def test_packed_serving_mode_matches_dataframe_path(spark, packed_index, query):
             assert abs(g["score"] - w["score"]) < 1e-9, query
 
 
+@pytest.fixture(scope="module")
+def packed_src(spark):
+    # same generator + seed as packed_index's corpus: doc_ids line up
+    return spark.createDataFrame(corpus.generate_pandas(N_DOCS, seed=42))
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        '"merge sort" buffer',        # Mixed: phrase + keyword
+        '"merge" buffer scan',        # Mixed with one-word phrase
+        '"merge sort buffer" token*', # Mixed with prefix keyword
+        "buffer merge #3",            # PRF keyword two-pass
+        "buffer merge scan #5",
+    ],
+)
+def test_packed_mixed_and_prf_match_dataframe_path(
+    spark, packed_index, packed_src, query
+):
+    """Mixed and PRF queries must produce identical rankings and scores off
+    the packed index (mixed_topk seeded-WAND / weighted two-pass WAND) as off
+    the long postings table."""
+    packed_index.doc_shard_size = 64
+    df_ex = QueryExecutor(spark, packed_index, source_df=packed_src)
+    pk_ex = QueryExecutor(
+        spark, packed_index, source_df=packed_src, use_packed=True
+    )
+    want = df_ex.search(query, k=10).collect()
+    got = pk_ex.search(query, k=10).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], query
+    for g, w in zip(got, want):
+        assert abs(g["score"] - w["score"]) < 1e-9, query
+
+
+def test_packed_serving_never_scans_long_postings(
+    spark, packed_index, packed_src, monkeypatch
+):
+    """In packed serving mode (the cache_postings=False deployment) NO query
+    type may touch the long postings table — keyword, phrase, boolean, mixed,
+    and PRF all dispatch to the packed plans."""
+    packed_index.doc_shard_size = 64
+    ex = QueryExecutor(
+        spark, packed_index, source_df=packed_src, use_packed=True
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("long postings table scanned in packed mode")
+
+    monkeypatch.setattr(ex, "_postings_for_terms", boom)
+    monkeypatch.setattr(ex, "_postings_for_prefix", boom)
+    for query in [
+        "buffer merge scan",
+        '"merge sort"',
+        "buffer AND merge",
+        "token*",
+        '"merge sort" buffer',
+        "buffer merge #3",
+    ]:
+        ex.search(query, k=5).collect()
+
+
+def test_packed_linkto_via_search(spark, packed_index):
+    """LinkTo through the full search() pipeline with ONLY the packed
+    citation index registered (ref: CitationIndexReader.java:61-112 —
+    serving happens off the compressed index)."""
+    from awesome_spark_search.pagerank import pack_citations
+
+    edges = spark.createDataFrame(
+        [(1, 42), (7, 42), (3, 5), (42, 7)], "src long, dst long"
+    )
+    ex = QueryExecutor(
+        spark, packed_index,
+        packed_citations=pack_citations(edges), use_packed=True,
+    )
+    got = ex.search("LinkTo:42", k=10).collect()
+    assert [r["doc_id"] for r in got] == [7, 1]  # recency: doc_id DESC
+    assert all(r["score"] is None for r in got)
+
+
 def test_phrase_topk_no_match(spark, packed_index):
     from awesome_spark_search.wand import phrase_topk
 
