@@ -26,6 +26,18 @@ from .build import K1, B, term_bucket_col, DEFAULT_TERM_BUCKETS
 from .scoring import idf_col
 from .textproc import doc_postings_flat, doc_len_col
 
+# The reference's exact patent-zone weighting, pinned as a preset
+# (ref: src/postings/ContentType.java:6-9 — Title 0.5, Abstract 0.25,
+# Claims 0.15, Description 0.1). Pass as BOTH field_cols and field_weights
+# to reproduce the reference's four-zone ranking over a corpus with those
+# columns; the golden in tests/test_fields.py pins the resulting scores.
+REFERENCE_ZONES: dict[str, float] = {
+    "title": 0.5,
+    "abstract": 0.25,
+    "claims": 0.15,
+    "description": 0.1,
+}
+
 
 def build_fielded_postings(
     source_df: DataFrame,

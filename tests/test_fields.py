@@ -33,3 +33,58 @@ def test_zero_weight_field_is_ignored(spark):
     top = fielded_bm25_topk(spark, postings, lens, ts, weights, ["merge"], k=4).collect()
     ids = {r["doc_id"] for r in top if r["score"] > 0}
     assert ids == {0, 1}  # title-only matches score 0
+
+
+def test_reference_four_zone_preset_golden(spark):
+    """The pinned Title/Abstract/Claims/Description preset (ContentType.java:
+    6-9 weights 0.5/0.25/0.15/0.1) against hand-computed BM25: every score
+    must match the closed-form weighted sum to 1e-9."""
+    import math
+
+    from awesome_spark_search.build import K1, B
+    from awesome_spark_search.fields import REFERENCE_ZONES
+
+    assert REFERENCE_ZONES == {
+        "title": 0.5, "abstract": 0.25, "claims": 0.15, "description": 0.1
+    }
+    assert abs(sum(REFERENCE_ZONES.values()) - 1.0) < 1e-12
+
+    rows = [
+        (0, "merge sort", "merge", "alpha", "merge merge alpha"),
+        (1, "alpha beta", "merge sort", "merge", "beta gamma"),
+        (2, "sort sort", "gamma", "beta alpha", "alpha"),
+        (3, "delta", "delta", "delta", "delta"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, title string, abstract string, "
+        "claims string, description string",
+    )
+    postings, lens, ts = build_fielded_postings(df, REFERENCE_ZONES, do_stem=False)
+    top = fielded_bm25_topk(
+        spark, postings, lens, ts, REFERENCE_ZONES, ["merge"], k=4
+    ).collect()
+
+    # hand-computed: df(merge)=2 of n_docs=4 -> idf = ln((4-2+.5)/(2+.5)+1)
+    idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    avgdl = {"title": 1.75, "abstract": 1.25, "claims": 1.25, "description": 1.75}
+
+    def tfnorm(tf, dl, av):
+        return tf / (tf + K1 * (1 - B + B * dl / av))
+
+    want = {
+        0: (
+            0.5 * idf * tfnorm(1, 2, avgdl["title"])
+            + 0.25 * idf * tfnorm(1, 1, avgdl["abstract"])
+            + 0.1 * idf * tfnorm(2, 3, avgdl["description"])
+        ),
+        1: (
+            0.25 * idf * tfnorm(1, 2, avgdl["abstract"])
+            + 0.15 * idf * tfnorm(1, 1, avgdl["claims"])
+        ),
+    }
+    got = {r["doc_id"]: r["score"] for r in top}
+    assert set(got) == {0, 1}  # docs 2 and 3 contain no query term
+    for d, w in want.items():
+        assert abs(got[d] - w) < 1e-9, (d, got[d], w)
+    assert [r["doc_id"] for r in top] == [0, 1]
