@@ -1,0 +1,136 @@
+"""Driver-side Bloom filter over the term dictionary.
+
+The reference keeps its whole seek-list/dictionary resident on the query
+node (ref: src/index/SeekList.java, QueryProcessor.java:397-417 probes it
+per token). The Spark port mirrors that with an exact driver cache up to
+``QueryExecutor.VOCAB_CACHE_MAX`` terms; past the cap (10^8-term code
+corpora) the exact existence probe used to run as a per-query semi-filter
+action. This module removes that per-query action: a Bloom filter built
+ONCE per index from ``term_stats`` answers "definitely absent" with zero
+Spark actions per query.
+
+Semantics: Bloom filters have NO false negatives, so every term the filter
+reports absent is truly absent — only those enter the spelling-correction
+job, which scans the real dictionary, so a wrong correction can never be
+introduced. A false positive (default rate ~2^-11 at 16 bits/term, k=11)
+only means one missed correction for one typo'd token: the query then runs
+with the raw token and matches nothing, exactly as the reference behaves
+when its corrector finds no candidate.
+
+Scale: the build is a single Spark action. Each scan partition folds its
+terms into a local bitset (m/8 bytes; 200 MB at 10^8 terms x 16 bits), the
+bitsets are OR-reduced executor-side in fixed-size CHUNKS keyed by
+chunk_id (shuffle volume = n_partitions x filter size, spread over
+n_chunks reduce tasks), and the driver collects exactly filter-size bytes
+— never n_partitions copies. Hashing is md5-derived (double hashing,
+Kirsch-Mitzenmacher) so driver probes and executor builds agree bit-for-bit
+with no JVM/Python hash divergence.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+DEFAULT_BITS_PER_TERM = 16
+DEFAULT_N_HASHES = 11  # ~= 16 * ln 2, optimal for 16 bits/term
+DEFAULT_CHUNK_BYTES = 1 << 20
+
+
+def _term_hash_pair(term: str) -> tuple[int, int]:
+    """Two independent 64-bit hashes from one md5 (h2 forced odd so the
+    double-hashing stride never degenerates mod a power-of-two m)."""
+    d = hashlib.md5(term.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return h1, h2
+
+
+def _set_bits(arr: np.ndarray, term: str, m: int, k: int) -> None:
+    h1, h2 = _term_hash_pair(term)
+    for i in range(k):
+        pos = (h1 + i * h2) % m
+        arr[pos >> 3] |= np.uint8(1 << (pos & 7))
+
+
+@dataclass
+class TermBloom:
+    """Immutable driver-side membership filter (``term in bloom``)."""
+
+    bits: np.ndarray  # uint8[ceil(m/8)]
+    m: int            # filter size in bits
+    k: int            # hash count
+    n_terms: int      # terms inserted (for fp_rate estimate)
+
+    def __contains__(self, term: str) -> bool:
+        h1, h2 = _term_hash_pair(term)
+        for i in range(self.k):
+            pos = (h1 + i * h2) % self.m
+            if not (self.bits[pos >> 3] >> (pos & 7)) & 1:
+                return False
+        return True
+
+    def fp_rate(self) -> float:
+        """Expected false-positive probability for a random absent term."""
+        return (1.0 - float(np.exp(-self.k * self.n_terms / self.m))) ** self.k
+
+
+def build_term_bloom(
+    term_stats: DataFrame,
+    n_terms: int,
+    *,
+    bits_per_term: int = DEFAULT_BITS_PER_TERM,
+    n_hashes: int = DEFAULT_N_HASHES,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+) -> TermBloom:
+    """ONE Spark action: scan ``term_stats.term``, OR-reduce per-partition
+    bitsets executor-side by chunk, collect filter-size bytes total."""
+    m = max(64, int(n_terms) * bits_per_term)
+    nbytes = (m + 7) // 8
+    k = n_hashes
+
+    def partition_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        arr = np.zeros(nbytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            for t in pdf["term"]:
+                _set_bits(arr, t, m, k)
+                seen = True
+        if not seen:
+            return
+        ids, blobs = [], []
+        for start in range(0, nbytes, chunk_bytes):
+            chunk = arr[start:start + chunk_bytes]
+            if chunk.any():
+                ids.append(start // chunk_bytes)
+                blobs.append(chunk.tobytes())
+        if ids:
+            yield pd.DataFrame({"chunk_id": ids, "bits": blobs})
+
+    def or_reduce(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint8).copy()
+        for blob in pdf["bits"].iloc[1:]:
+            acc |= np.frombuffer(blob, dtype=np.uint8)
+        return pd.DataFrame(
+            {"chunk_id": [int(pdf["chunk_id"].iloc[0])], "bits": [acc.tobytes()]}
+        )
+
+    schema = "chunk_id long, bits binary"
+    rows = (
+        term_stats.select("term")
+        .mapInPandas(partition_chunks, schema)
+        .groupBy("chunk_id")
+        .applyInPandas(or_reduce, schema)
+        .collect()
+    )
+    bits = np.zeros(nbytes, dtype=np.uint8)
+    for r in rows:
+        start = r["chunk_id"] * chunk_bytes
+        blob = np.frombuffer(r["bits"], dtype=np.uint8)
+        bits[start:start + len(blob)] |= blob
+    return TermBloom(bits=bits, m=m, k=k, n_terms=int(n_terms))

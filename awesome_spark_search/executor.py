@@ -60,6 +60,11 @@ class QueryExecutor:
         # driver-side vocabulary for O(1) existence checks (None = too big)
         self._vocab: frozenset[str] | None = None
         self._vocab_checked = False
+        self._n_terms: int | None = None
+        # past VOCAB_CACHE_MAX: a Bloom filter (built once) replaces the
+        # per-query existence semi-filter — see bloom.py for the semantics
+        self._bloom = None
+        self._bloom_checked = False
         # serve pure keyword/phrase queries from the packed compressed index
         # (block-max WAND / positional decode) instead of the long table
         self.use_packed = use_packed and index.packed is not None
@@ -113,21 +118,39 @@ class QueryExecutor:
 
     VOCAB_CACHE_MAX = 1_000_000  # driver-side dictionary cutoff (~60MB)
 
+    USE_VOCAB_BLOOM = True  # huge-vocab existence via a one-time Bloom build
+
     def _get_vocab(self) -> frozenset[str] | None:
         """Driver-cached term dictionary when it is small enough; the
         existence check then costs zero Spark actions per query. For huge
         vocabularies (10^8-term code corpora) this returns None and the
-        existence check runs as a per-query isin semi-filter instead
-        (same semantics, one small action)."""
+        existence check uses a Bloom filter built ONCE per index
+        (``_get_bloom``) — still zero per-query actions; with the Bloom
+        disabled it falls back to a per-query isin semi-filter."""
         if not self._vocab_checked:
             self._vocab_checked = True
-            if self.index.stats.n_docs and (
-                n_terms := self.index.term_stats.count()
-            ) <= self.VOCAB_CACHE_MAX:
-                self._vocab = frozenset(
-                    r["term"] for r in self.index.term_stats.select("term").collect()
-                )
+            if self.index.stats.n_docs:
+                self._n_terms = self.index.term_stats.count()
+                if self._n_terms <= self.VOCAB_CACHE_MAX:
+                    self._vocab = frozenset(
+                        r["term"]
+                        for r in self.index.term_stats.select("term").collect()
+                    )
         return self._vocab
+
+    def _get_bloom(self):
+        """One-time md5 Bloom filter over the dictionary for vocabularies
+        too big for the exact driver cache. No false negatives: typo'd
+        tokens still always enter the correction job; a false positive
+        (~2^-11) only suppresses one correction, never invents one
+        (bloom.py has the full argument + the 100 TB build shape)."""
+        if not self._bloom_checked:
+            self._bloom_checked = True
+            if self.USE_VOCAB_BLOOM and self._n_terms:
+                from .bloom import build_term_bloom
+
+                self._bloom = build_term_bloom(self.index.term_stats, self._n_terms)
+        return self._bloom
 
     def _find_corrections(self, terms: list[str]) -> dict[str, str]:
         """For exact terms absent from the dictionary, find the best
@@ -138,6 +161,8 @@ class QueryExecutor:
         vocab = self._get_vocab()
         if vocab is not None:
             present = {t for t in exact if t in vocab}
+        elif (bloom := self._get_bloom()) is not None:
+            present = {t for t in exact if t in bloom}
         else:
             buckets = sorted({_py_term_bucket(t, self.n_buckets) for t in exact})
             present = {
@@ -346,9 +371,11 @@ class QueryExecutor:
         postings is corrected, even when other tokens match
         (ref: QueryProcessor.java:397-417). With the cached dictionary the
         existence check is O(1) on the driver and the happy path stays ONE
-        Spark action; past ``VOCAB_CACHE_MAX`` it is a per-query ``isin``
-        semi-filter of the (tiny) query-term list against term_stats — one
-        extra small action, no driver dictionary, identical semantics.
+        Spark action; past ``VOCAB_CACHE_MAX`` a Bloom filter built once
+        per index keeps it at ONE action per query too (no false
+        negatives, so typo detection is exact; see bloom.py). Only with
+        ``USE_VOCAB_BLOOM=False`` does it cost a per-query ``isin``
+        semi-filter of the (tiny) query-term list against term_stats.
         Applied corrections are exposed as ``last_corrections``. The returned
         DataFrame is localized (k rows)."""
         pq = Q.parse(query, tokenize=self._tokenize_query)
@@ -356,8 +383,8 @@ class QueryExecutor:
         self._query_terms = Q.collect_terms(pq.ast)
         exact_q = [t for t in self._query_terms if not t.endswith("*")]
         if exact_q:
-            # _find_corrections checks existence against the cached vocab
-            # (zero actions) or a bucket-pruned isin filter (one small action)
+            # _find_corrections checks existence against the cached vocab or
+            # the once-built Bloom filter (zero per-query actions either way)
             self._corrections = self._find_corrections(exact_q)
         self.last_corrections = dict(self._corrections)
         rows = self._run_once(pq, k)
