@@ -464,6 +464,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    # REAL WAV PCM resample (decode_wav chunk walk + linear interp) over the
+    # same closed-form fixture. All WAV rows have rate 16000 (i%3==1 makes
+    # 8000*(1+i%3) = 16000), so the 8000 Hz target is an exact 2:1
+    # decimation: n_samples = 50*(i+1), and the constant-256 PCM signal
+    # (make_wav's \x00\x01 frames) keeps rms = 256 exactly. HASH-VERIFIED:
+    # a misread chunk, channel mix, or interp error would shift the values.
+    q["media_resample"] = lambda spark, sf: (
+        (lambda mm: mm.resample_audio(
+            mm.synth_probe_media(spark, 24), sample_rate=8000,
+            decoder=mm.wav_resample_kernel)
+         .select(
+             "media_id",
+             F.col("sample_rate").cast("double").alias("sample_rate"),
+             F.col("n_samples").cast("double").alias("n_samples"),
+             F.round(F.col("rms").cast("double"), 4).alias("rms"),
+         ))(
+            __import__("awesome_spark_search.multimodal", fromlist=["x"])
+        )
+    )
+
     return q
 
 
@@ -1178,6 +1198,15 @@ SELECT i AS media_id,
        CASE WHEN i % 3 = 1 THEN (8000 * (1 + i % 3))::DOUBLE END AS sample_rate,
        CASE WHEN i % 3 = 1 THEN ((100 * (i + 1)) * 1000 // (8000 * (1 + i % 3)))::DOUBLE END AS duration_ms
 FROM r
+"""
+    # media_resample: the fixture's WAV rows (i%3==1) are all 16000 Hz with
+    # constant-256 int16 frames; a 2:1 decimation halves 100*(i+1) frames
+    # and preserves the constant, so the oracle is closed-form in i.
+    o["media_resample"] = """
+WITH r AS (SELECT unnest(range(0, 24)) AS i)
+SELECT i AS media_id, 8000::DOUBLE AS sample_rate,
+       (50 * (i + 1))::DOUBLE AS n_samples, 256.0::DOUBLE AS rms
+FROM r WHERE i % 3 = 1
 """
     o["events_tumbling"] = """
 SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS w_start,

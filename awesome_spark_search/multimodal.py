@@ -435,6 +435,67 @@ def png_resize_kernel(payload: bytes, w: int, h: int) -> bytes:
     return img[ys][:, xs].tobytes()
 
 
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """REAL stdlib WAV PCM decode -> (int16 ndarray [n_frames, channels],
+    sample_rate).
+
+    RIFF/WAVE chunk walk (word-aligned per the spec) for the 'fmt ' and
+    'data' chunks; uncompressed PCM (format tag 1) at 8 or 16 bits per
+    sample — the fully-specified hot subset; anything else raises
+    DecoderUnavailable loudly. 8-bit WAV is unsigned per the spec and is
+    rescaled to signed int16. This is the sample half of the decode
+    boundary done WITHOUT external libraries; production would swap in
+    torchaudio/librosa via the same decoder contract."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise DecoderUnavailable("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        tag = b[pos: pos + 4]
+        (clen,) = struct.unpack("<I", b[pos + 4: pos + 8])
+        body = b[pos + 8: pos + 8 + clen]
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are 2-byte aligned
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise DecoderUnavailable("WAV missing fmt/data chunk")
+    audio_fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt != 1 or ch < 1 or bits not in (8, 16):
+        raise DecoderUnavailable(
+            f"unsupported WAV shape (fmt={audio_fmt} ch={ch} bits={bits})"
+        )
+    if bits == 16:
+        n = len(data) // (2 * ch) * ch
+        samples = np.frombuffer(data, dtype="<i2", count=n).astype(np.int16)
+    else:
+        n = len(data) // ch * ch
+        samples = (
+            (np.frombuffer(data, dtype=np.uint8, count=n).astype(np.int16) - 128)
+            << 8
+        )
+    return samples.reshape(-1, ch), int(rate)
+
+
+def wav_resample_kernel(payload: bytes, sample_rate: int,
+                        max_samples: int) -> np.ndarray:
+    """Injectable REAL audio kernel for ``resample_audio(decoder=...)``:
+    decode_wav + mono downmix (channel mean) + linear-interpolation
+    resample to ``sample_rate``, truncated to ``max_samples``. Same
+    signature as _audio_stub; linear interp is exact on linear signals
+    and identity at equal rates (both pinned by tests)."""
+    frames, src_rate = decode_wav(payload)
+    if frames.shape[0] == 0:
+        return np.zeros(0, dtype=np.int16)
+    mono = frames.astype(np.float64).mean(axis=1)
+    n_out = max(1, int(round(len(mono) * sample_rate / src_rate)))
+    out_t = np.arange(n_out, dtype=np.float64) * (src_rate / sample_rate)
+    wave = np.interp(out_t, np.arange(len(mono), dtype=np.float64), mono)
+    return np.clip(np.rint(wave), -32768, 32767).astype(np.int16)[:max_samples]
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Metadata-only projection — payload column pruned at the Parquet scan."""
     return media.select(

@@ -1,5 +1,6 @@
 """Multimodal plumbing: schemas, Arrow batch shapes, deterministic stubs."""
 
+import numpy as np
 import hashlib
 
 from pyspark.sql import functions as F
@@ -264,3 +265,97 @@ def test_real_png_resize_through_spark_kernel(spark):
     for r in out:
         assert len(bytes(r["payload"])) == 2 * 2 * 3
         assert bytes(r["payload"]) == b"\x10\x20\x30" * 4  # solid fixture color
+
+
+def _wav_from_samples(samples, rate, channels=1, bits=16):
+    """Hand-built PCM WAV around explicit int16 samples (interleaved)."""
+    import struct
+
+    arr = np.asarray(samples, dtype="<i2")
+    data = arr.tobytes() if bits == 16 else (
+        ((arr.astype(np.int32) >> 8) + 128).astype(np.uint8).tobytes()
+    )
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+        channels * bits // 8, bits,
+    )
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    import struct as _s
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def test_decode_wav_golden_samples():
+    """decode_wav reconstructs exact int16 frames, rate, and channel shape
+    from a hand-built PCM container (16-bit stereo and 8-bit mono)."""
+    from awesome_spark_search.multimodal import DecoderUnavailable, decode_wav
+
+    stereo = [100, -200, 300, -400, 500, -600]  # 3 frames x 2 ch
+    frames, rate = decode_wav(_wav_from_samples(stereo, 44100, channels=2))
+    assert rate == 44100 and frames.shape == (3, 2)
+    assert frames.flatten().tolist() == stereo
+
+    # 8-bit WAV is unsigned; decode rescales to signed int16 (x-128)<<8
+    frames8, rate8 = decode_wav(
+        _wav_from_samples([0, 256, -256, 32512], 8000, bits=8)
+    )
+    assert rate8 == 8000
+    assert frames8.flatten().tolist() == [0, 256, -256, 32512]
+
+    import pytest as _pytest
+    with _pytest.raises(DecoderUnavailable):
+        decode_wav(b"RIFX" + b"\x00" * 40)
+
+
+def test_wav_resample_identity_and_linear_exactness():
+    """Linear-interp resample: identity at equal rates; exact on a linear
+    ramp at 2x upsample (every half-step lies on the ramp); stereo downmix
+    is the channel mean."""
+    from awesome_spark_search.multimodal import wav_resample_kernel
+
+    ramp = list(range(0, 1000, 10))  # linear int16 ramp, 100 samples
+    wav = _wav_from_samples(ramp, 8000)
+    same = wav_resample_kernel(wav, 8000, 4096)
+    assert same.tolist() == ramp
+
+    up = wav_resample_kernel(wav, 16000, 4096)
+    assert len(up) == 200
+    assert up[::2].tolist() == ramp          # original points preserved
+    assert up[1:-1:2].tolist() == [r + 5 for r in ramp[:-1]]  # midpoints
+
+    stereo = [0, 100, 200, 300, 400, 500]    # ch means: 50, 250, 450
+    mix = wav_resample_kernel(_wav_from_samples(stereo, 8000, channels=2), 8000, 4096)
+    assert mix.tolist() == [50, 250, 450]
+
+    assert len(wav_resample_kernel(wav, 16000, 64)) == 64  # max_samples cap
+
+
+def test_real_wav_resample_through_spark_kernel(spark):
+    """resample_audio with the REAL injected kernel: WAV payloads decode and
+    resample inside mapInPandas; constant-signal RMS survives the rate
+    change exactly and image rows never cross the Python boundary."""
+    from awesome_spark_search.multimodal import (
+        MEDIA_SCHEMA,
+        make_png,
+        resample_audio,
+        wav_resample_kernel,
+    )
+
+    const = [256] * 300  # make_wav-style constant signal
+    rows = [
+        (0, "audio", "audio/wav", bytearray(_wav_from_samples(const, 8000)),
+         None, None, None),
+        (1, "image", "image/png", bytearray(make_png(4, 4)), 4, 4, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resample_audio(
+        media, sample_rate=16000, max_samples=4096, decoder=wav_resample_kernel
+    ).collect()
+    assert [r["media_id"] for r in out] == [0]
+    r = out[0]
+    assert r["sample_rate"] == 16000 and r["n_samples"] == 600
+    assert abs(r["rms"] - 256.0) < 1e-4
+    wave = np.frombuffer(bytes(r["payload"]), dtype=np.int16)
+    assert (wave == 256).all()
