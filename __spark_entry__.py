@@ -271,6 +271,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
     q["fielded_bm25"] = lambda spark, sf: _fielded_bm25(spark, sf)
+    # same zone-weighted query served off the PACKED fielded index (per-field
+    # avgdl override + w_f folded into idf inside block-max WAND) — must
+    # reproduce the identical long-table oracle
+    q["fielded_bm25_packed"] = lambda spark, sf: _fielded_bm25_packed(spark, sf)
     q["doc_metadata_topk"] = lambda spark, sf: (
         (lambda ex: ex.search("merge batch table", k=10)
          .join(ex.index.doc_map.select("doc_id", "repo", "path", "lang"), "doc_id")
@@ -503,6 +507,22 @@ def _fielded_bm25(spark, sf) -> DataFrame:
     return fielded_bm25_topk(
         spark, postings, lens, ts, _FIELD_WEIGHTS, _FIELD_TERMS, k=10
     ).select("doc_id", F.round(F.col("score"), 4).alias("score"))
+
+
+def _fielded_bm25_packed(spark, sf) -> DataFrame:
+    """The SAME zone-weighted query as _fielded_bm25, served off the packed
+    fielded index (fields.build_fielded_packed / fielded_wand_topk): each
+    (field, term) posting list packs against its field's avgdl, w_f folds
+    into the broadcast idf, and the per-shard WAND loop merge-adds the zone
+    contributions — rank+score identical to the long-table plan, so it
+    shares fielded_bm25's oracle verbatim."""
+    from awesome_spark_search.fields import build_fielded_packed, fielded_wand_topk
+
+    docs = _docs(spark, sf).select("doc_id", "text", "source")
+    fidx = build_fielded_packed(spark, docs, _FIELD_WEIGHTS, do_stem=False)
+    return fielded_wand_topk(spark, fidx, _FIELD_TERMS, k=10).select(
+        "doc_id", F.round(F.col("score"), 4).alias("score")
+    )
 
 
 def _docs_with_planted_dups(spark, sf) -> DataFrame:
@@ -765,6 +785,9 @@ scored AS (
 SELECT doc_id, round(raw, 4) AS score
 FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 10
 """
+    # the packed fielded entry must reproduce the long-table plan exactly —
+    # one oracle, two engines' worth of evidence
+    o["fielded_bm25_packed"] = o["fielded_bm25"]
     o["doc_metadata_topk"] = f"""
 WITH {_TOK_CTE},
 qt AS ({_const_terms(["merge", "batch", "table"])}),

@@ -19,10 +19,21 @@ field, no (term, doc) shuffle, salted term stats.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from .build import K1, B, term_bucket_col, DEFAULT_TERM_BUCKETS
+from .build import (
+    B,
+    DEFAULT_TERM_BUCKETS,
+    K1,
+    PACKED_SCHEMA,
+    term_bucket_col,
+)
 from .scoring import idf_col
 from .textproc import doc_postings_flat, doc_len_col
 
@@ -124,3 +135,170 @@ def fielded_bm25_topk(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Packed fielded index — zone-weighted BM25 on the ONE-action compressed
+# serving path (same posture as wand.wand_topk; closes the "fielded is
+# long-table only" caveat). Each (field, term) posting list packs against
+# that FIELD's avgdl so block-max bounds stay exact, and the query folds
+# w_f into the broadcast idf column (BM25 is linear in idf).
+# ---------------------------------------------------------------------------
+
+PACKED_FIELDED_SCHEMA = T.StructType(
+    list(PACKED_SCHEMA.fields) + [T.StructField("field", T.StringType(), False)]
+)
+
+
+@dataclass
+class FieldedPackedIndex:
+    packed: DataFrame               # PACKED_SCHEMA + field
+    term_stats: DataFrame           # GLOBAL (term, df, cf, term_bucket) — df
+                                    # over docs with the term in ANY field,
+                                    # matching fielded_bm25_topk's idf
+    field_weights: dict[str, float]
+    avgdl_by_field: dict[str, float]
+    n_docs: int
+    doc_shard_size: int
+
+
+def _pack_fielded_factory(avgdl_by_field: dict[str, float], n_buckets: int):
+    """mapInPandas packer over a partition sorted by (field, term,
+    doc_shard, doc_id): slices each Arrow batch into contiguous per-field
+    runs and reuses ``build._pack_many`` on each run with that field's
+    avgdl (the packed block_max bounds must divide dl by the SAME avgdl the
+    scorer later uses). Groups spanning batch boundaries are buffered
+    exactly like ``build._pack_stream_factory`` — all fields pack in ONE
+    wide shuffle, not one per field."""
+    from .build import _pack_many
+
+    def _pack_head(head: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        farr = head["field"].to_numpy()
+        change = np.flatnonzero(np.r_[True, farr[1:] != farr[:-1]])
+        bounds = np.append(change, len(head))
+        for s, e in zip(bounds[:-1].tolist(), bounds[1:].tolist()):
+            f = farr[s]
+            packed = _pack_many(
+                head.iloc[s:e], float(avgdl_by_field[f]), n_buckets
+            )
+            packed["field"] = f
+            outs.append(packed)
+        return pd.concat(outs, ignore_index=True)
+
+    def pack_iter(batches):
+        buf: pd.DataFrame | None = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = pdf.iloc[-1]
+            tail = (
+                (pdf["field"] == last["field"])
+                & (pdf["term"] == last["term"])
+                & (pdf["doc_shard"] == last["doc_shard"])
+            )
+            buf = pdf[tail]
+            head = pdf[~tail]
+            if len(head):
+                yield _pack_head(head)
+        if buf is not None and len(buf):
+            yield _pack_head(buf)
+
+    return pack_iter
+
+
+def build_fielded_packed(
+    spark: SparkSession,
+    source_df: DataFrame,
+    field_weights: dict[str, float],
+    *,
+    do_stem: bool = False,
+    n_term_buckets: int = DEFAULT_TERM_BUCKETS,
+    doc_shard_size: int = 1 << 20,
+    cache: bool = True,
+) -> FieldedPackedIndex:
+    """Packed fielded index: one narrow tokenize pass per field (no
+    (term, doc) shuffle — build.py's shape), then ONE wide
+    (field, term, doc_shard) sort-shuffle into the streaming packer.
+    Per-field avgdl comes from the stopword-inclusive field_lens (every doc
+    contributes, even when a field yields no postings), matching
+    ``fielded_bm25_topk``'s stats exactly."""
+    postings, field_lens, term_stats = build_fielded_postings(
+        source_df, field_weights, do_stem=do_stem, n_term_buckets=n_term_buckets
+    )
+    avgdl_by_field = {
+        r["field"]: float(r["avgdl"]) or 1.0
+        for r in field_lens.groupBy("field")
+        .agg(F.avg("doc_len").alias("avgdl"))
+        .collect()
+    }
+    n_docs = source_df.count()
+    with_shard = postings.withColumn(
+        "doc_shard", (F.col("doc_id") / F.lit(doc_shard_size)).cast("long")
+    )
+    packed = (
+        with_shard.repartition("field", "term", "doc_shard")
+        .sortWithinPartitions("field", "term", "doc_shard", "doc_id")
+        .mapInPandas(
+            _pack_fielded_factory(avgdl_by_field, n_term_buckets),
+            PACKED_FIELDED_SCHEMA,
+        )
+    )
+    if cache:
+        packed = packed.persist()
+        term_stats = term_stats.persist()
+    return FieldedPackedIndex(
+        packed, term_stats, dict(field_weights), avgdl_by_field,
+        n_docs, doc_shard_size,
+    )
+
+
+def fielded_wand_topk(
+    spark: SparkSession,
+    fidx: FieldedPackedIndex,
+    terms: list[str],
+    k: int = 10,
+    n_term_buckets: int = DEFAULT_TERM_BUCKETS,
+) -> DataFrame:
+    """Zone-weighted BM25 top-k entirely off the packed fielded index — ONE
+    Spark action, rank+score identical to ``fielded_bm25_topk`` (pinned by
+    tests/test_fields.py): each (field, term) list enters the block-max WAND
+    loop as an independent list whose broadcast idf column arrives
+    pre-multiplied by w_f and whose per-row ``avgdl`` column overrides the
+    dl normalizer inside ``wand._wand_pass``. Skipping stays exact because
+    each list's block_max was packed against the same avgdl. Bucket-pruned
+    scan + broadcast join + per-shard applyInPandas + tiny global top-k —
+    the same 100 TB shape as ``wand.wand_topk``."""
+    from . import wand as _wand
+    from .build import _py_term_bucket
+
+    if not terms:
+        return spark.createDataFrame([], _wand.RESULT_SCHEMA)
+    buckets = sorted({_py_term_bucket(t, n_term_buckets) for t in terms})
+    ts = (
+        fidx.term_stats.filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .withColumn("idf", idf_col(F.col("df"), fidx.n_docs))
+        .select("term", "idf")
+    )
+    wmap = F.create_map(
+        *[F.lit(x) for f, w in sorted(fidx.field_weights.items())
+          for x in (f, float(w))]
+    )
+    amap = F.create_map(
+        *[F.lit(x) for f, a in sorted(fidx.avgdl_by_field.items())
+          for x in (f, float(a))]
+    )
+    packed = (
+        fidx.packed.filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .join(F.broadcast(ts), "term")
+        .withColumn("idf", F.col("idf") * wmap[F.col("field")])
+        .withColumn("avgdl", amap[F.col("field")])
+    )
+    local = packed.groupBy("doc_shard").applyInPandas(
+        _wand._shard_topk_factory(1.0, k), _wand.RESULT_SCHEMA
+    )
+    return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

@@ -184,7 +184,12 @@ def _wand_pass(
             need = None
         doc_ids, tfs, dls, blk = _decode_term_blocks(r, need, counts)
         DECODE_STATS["postings"] += doc_ids.size
-        contrib = idf * tfs / (tfs + K1 * (1 - B + B * dls / avgdl))
+        # a row may carry its own dl normalizer (fielded lists pack each
+        # zone against that ZONE's avgdl — fields.fielded_wand_topk); the
+        # block_max bounds above were computed with the same value at pack
+        # time, so skipping stays exact
+        adl = float(r["avgdl"]) if "avgdl" in r.index else avgdl
+        contrib = idf * tfs / (tfs + K1 * (1 - B + B * dls / adl))
         if admit is not None and not admit.all():
             # mask candidate-range-only blocks' postings to existing
             # candidates (blk is None when every block was decoded)

