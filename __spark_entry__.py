@@ -294,6 +294,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sentence punctuation, so each snippet is exactly trim(text) of the
     # right top-5 doc; the sentence split + greedy set-cover ALGORITHM is
     # pinned by tests/test_snippets_golden.py (multi-sentence goldens)
+    # packed_merge_roundtrip: two parity-split half-corpus indexes folded by
+    # merge.merge_packed_indexes (NO re-tokenize — packed bytes shuffle once,
+    # interleaved groups re-encode, ref InvertedIndexMerger.java:34-112);
+    # decoding 'merge' postings off the merged index must equal the
+    # full-corpus tokenize — shares packed_roundtrip_tf's oracle
+    q["packed_merge_roundtrip"] = lambda spark, sf: _packed_merge_roundtrip(
+        spark, sf
+    )
     q["snippet_top5"] = lambda spark, sf: _snippet_top5(spark, sf)
     # ndcg_at_10: oracled — closed-form gain/DCG over the BM25 top-10 vs the
     # id-ascending pseudo-gold (ref: src/evaluation/NdcgCalculator.java:22-62)
@@ -525,6 +533,28 @@ def _fielded_bm25_packed(spark, sf) -> DataFrame:
     )
 
 
+def _packed_merge_roundtrip(spark, sf) -> DataFrame:
+    """Build two indexes over the doc_id-parity halves of the corpus (every
+    doc_shard holds rows from BOTH — the full decode+re-encode merge path),
+    fold them with merge_packed_indexes, and round-trip one term's postings
+    off the merged packed table."""
+    from awesome_spark_search.merge import merge_packed_indexes
+    from awesome_spark_search.wand import decode_postings
+
+    src = _corpus.from_documents_table(spark, sf.rstrip("/")).repartition(
+        8, "doc_id"
+    )
+    halves = [
+        build_index(
+            spark, src.filter(f"doc_id % 2 = {i}"),
+            do_stem=False, build_packed=True, cache_postings=False,
+        )
+        for i in (0, 1)
+    ]
+    merged = merge_packed_indexes(spark, halves)
+    return decode_postings(merged, "merge")
+
+
 def _docs_with_planted_dups(spark, sf) -> DataFrame:
     docs = _docs(spark, sf).select("doc_id", "text")
     n = docs.count()
@@ -738,6 +768,9 @@ FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 10
 WITH {_TOK_CTE}
 SELECT doc_id, tf::INT AS tf FROM tf WHERE term = 'merge'
 """
+    # the merged-index round-trip must reproduce the full-corpus tokenize
+    # bit-for-bit — one oracle shared with the single-index round-trip
+    o["packed_merge_roundtrip"] = o["packed_roundtrip_tf"]
     o["packed_roundtrip_positions"] = f"""
 WITH {_TOK_CTE}
 SELECT doc_id, (i - 1)::INT AS pos

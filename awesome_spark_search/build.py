@@ -177,46 +177,70 @@ def _pack_many(pdf: pd.DataFrame, avgdl: float, n_buckets: int) -> pd.DataFrame:
         mask = np.ones(len(stream), dtype=bool)
         mask[marker_idx] = False
         stream[mask] = seg.astype(np.uint64)
-        ids_vb, doc_off, first_doc = codec.delta_vbyte_encode_blocked(ids)
-        tfs_vb, tf_off = codec.vbyte_encode_blocked(t.astype(np.uint64))
-        dls_vb, dl_off = codec.vbyte_encode_blocked(dls[s:e].astype(np.uint64))
-        pos_vb, pos_enc_off = codec._vbyte_encode_with_offsets(stream)
-        # the blk_* directories are stored int32: a blob past 2^31 bytes would
-        # silently wrap the offsets and corrupt block slicing. Unreachable at
-        # the default doc_shard_size (2^20 docs * <=10B/varint), but guard the
-        # invariant rather than assume it — fail the build loudly instead.
-        if len(pos_vb) >= 2**31 or len(ids_vb) >= 2**31:
-            raise ValueError(
-                f"packed blob for term={terms[s]!r} doc_shard={int(shards[s])} "
-                f"exceeds int32 offset range ({len(pos_vb)} bytes); "
-                "lower doc_shard_size"
-            )
-        # stream entry index of doc j's tf marker = (cum tf before j) + j;
-        # take it at each 128-doc block head -> byte offset into pos_vb
-        blk_heads = np.arange(0, k, codec.BLOCK, dtype=np.int64)
-        pos_off = (
-            pos_enc_off[marker_idx[blk_heads]]
-            if k
-            else np.zeros(0, dtype=np.int64)
-        )
-        cols["term_bucket"].append(_py_term_bucket(terms[s], n_buckets))
-        cols["term"].append(terms[s])
-        cols["doc_shard"].append(int(shards[s]))
-        cols["n"].append(k)
-        cols["cf"].append(int(t.sum()))
-        cols["doc_ids_vb"].append(ids_vb)
-        cols["tfs_vb"].append(tfs_vb)
-        cols["dls_vb"].append(dls_vb)
-        cols["pos_vb"].append(pos_vb)
-        cols["block_max"].append(
-            codec.block_max_scores(t, dls[s:e], avgdl, K1, B).tolist()
-        )
-        cols["blk_doc_off"].append(doc_off.astype(np.int32).tolist())
-        cols["blk_tf_off"].append(tf_off.astype(np.int32).tolist())
-        cols["blk_dl_off"].append(dl_off.astype(np.int32).tolist())
-        cols["blk_pos_off"].append(pos_off.astype(np.int32).tolist())
-        cols["blk_first_doc"].append(first_doc.tolist())
+        row = _encode_group(terms[s], int(shards[s]), ids, t, dls[s:e],
+                            stream, avgdl, n_buckets)
+        for name, v in row.items():
+            cols[name].append(v)
     return pd.DataFrame(cols)
+
+
+def _encode_group(
+    term: str,
+    shard: int,
+    ids: np.ndarray,
+    t: np.ndarray,
+    dls_seg: np.ndarray,
+    stream: np.ndarray,
+    avgdl: float,
+    n_buckets: int,
+) -> dict:
+    """Encode ONE (term, doc_shard) group — sorted doc_ids ``ids``, per-doc
+    tfs ``t`` and doc lengths ``dls_seg``, and the concatenated
+    [tf, gap0(=pos0), gaps...] position ``stream`` — into a PACKED_SCHEMA
+    row dict. Shared by the builder (_pack_many) and the packed-index
+    merger (merge.merge_packed_indexes), so both produce byte-compatible
+    blobs and directories."""
+    k = ids.size
+    marker_idx = np.zeros(k, dtype=np.int64)
+    if k:
+        np.cumsum(t[:-1] + 1, out=marker_idx[1:])
+    ids_vb, doc_off, first_doc = codec.delta_vbyte_encode_blocked(ids)
+    tfs_vb, tf_off = codec.vbyte_encode_blocked(t.astype(np.uint64))
+    dls_vb, dl_off = codec.vbyte_encode_blocked(dls_seg.astype(np.uint64))
+    pos_vb, pos_enc_off = codec._vbyte_encode_with_offsets(stream)
+    # the blk_* directories are stored int32: a blob past 2^31 bytes would
+    # silently wrap the offsets and corrupt block slicing. Unreachable at
+    # the default doc_shard_size (2^20 docs * <=10B/varint), but guard the
+    # invariant rather than assume it — fail the build loudly instead.
+    if len(pos_vb) >= 2**31 or len(ids_vb) >= 2**31:
+        raise ValueError(
+            f"packed blob for term={term!r} doc_shard={shard} "
+            f"exceeds int32 offset range ({len(pos_vb)} bytes); "
+            "lower doc_shard_size"
+        )
+    # stream entry index of doc j's tf marker = (cum tf before j) + j;
+    # take it at each 128-doc block head -> byte offset into pos_vb
+    blk_heads = np.arange(0, k, codec.BLOCK, dtype=np.int64)
+    pos_off = (
+        pos_enc_off[marker_idx[blk_heads]] if k else np.zeros(0, dtype=np.int64)
+    )
+    return {
+        "term_bucket": _py_term_bucket(term, n_buckets),
+        "term": term,
+        "doc_shard": shard,
+        "n": k,
+        "cf": int(t.sum()),
+        "doc_ids_vb": ids_vb,
+        "tfs_vb": tfs_vb,
+        "dls_vb": dls_vb,
+        "pos_vb": pos_vb,
+        "block_max": codec.block_max_scores(t, dls_seg, avgdl, K1, B).tolist(),
+        "blk_doc_off": doc_off.astype(np.int32).tolist(),
+        "blk_tf_off": tf_off.astype(np.int32).tolist(),
+        "blk_dl_off": dl_off.astype(np.int32).tolist(),
+        "blk_pos_off": pos_off.astype(np.int32).tolist(),
+        "blk_first_doc": first_doc.tolist(),
+    }
 
 
 def _pack_stream_factory(avgdl: float, n_buckets: int):
