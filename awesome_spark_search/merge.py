@@ -186,9 +186,19 @@ def merge_packed_indexes(
     do_stems = {ix.do_stem for ix in indexes}
     assert len(do_stems) == 1, "do_stem must match across sources"
 
-    doc_map = indexes[0].doc_map
-    for ix in indexes[1:]:
-        doc_map = doc_map.unionByName(ix.doc_map)
+    # streamed (to_index) and batch indexes carry different doc_map/postings
+    # metadata columns — merge on the intersection (doc_id + doc_len always
+    # present; stats and serving never need more)
+    def _union_common(dfs):
+        common = [
+            c for c in dfs[0].columns if all(c in d.columns for d in dfs[1:])
+        ]
+        out = dfs[0].select(common)
+        for d in dfs[1:]:
+            out = out.unionByName(d.select(common))
+        return out
+
+    doc_map = _union_common([ix.doc_map for ix in indexes])
     if check_disjoint:
         dup = (
             doc_map.groupBy("doc_id").count()
@@ -233,9 +243,7 @@ def merge_packed_indexes(
     if cache:
         term_stats = term_stats.persist()
 
-    postings = indexes[0].postings
-    for ix in indexes[1:]:
-        postings = postings.unionByName(ix.postings)
+    postings = _union_common([ix.postings for ix in indexes])
 
     return Index(
         doc_map=doc_map,

@@ -131,6 +131,51 @@ def test_overlapping_doc_ids_rejected(spark):
         merge_packed_indexes(spark, [ia, ia])
 
 
+def test_streamed_delta_merges_onto_batch_base(spark, tmp_path):
+    """The incremental-deployment composition: a batch-built base + a
+    streamed delta (IncrementalIndexer.to_index(build_packed=True)) fold
+    with merge_packed_indexes into an index that serves identically to a
+    full rebuild — delta compaction without re-reading the base corpus."""
+    from awesome_spark_search.executor import QueryExecutor
+    from awesome_spark_search.streaming import IncrementalIndexer
+
+    base_docs = [
+        (0, "merge buffer scan merge"),
+        (1, "buffer table scan"),
+        (2, "merge table value table"),
+    ]
+    delta_docs = [
+        (3, "merge value buffer value"),
+        (4, "table scan scan"),
+    ]
+    base = build_index(
+        spark, spark.createDataFrame(base_docs, "doc_id long, content string"),
+        do_stem=False, build_packed=True, doc_shard_size=2,
+    )
+    ingest = IncrementalIndexer(spark, str(tmp_path / "delta"), do_stem=False)
+    ingest.foreach_batch(
+        spark.createDataFrame(delta_docs, "doc_id long, content string"), 0
+    )
+    delta = ingest.to_index(build_packed=True, doc_shard_size=2)
+    merged = merge_packed_indexes(spark, [base, delta])
+
+    full = build_index(
+        spark,
+        spark.createDataFrame(
+            base_docs + delta_docs, "doc_id long, content string"
+        ),
+        do_stem=False, build_packed=True, doc_shard_size=2,
+    )
+    assert merged.stats.n_docs == 5
+    assert abs(merged.stats.avgdl - full.stats.avgdl) < 1e-12
+    ex_m = QueryExecutor(spark, merged, use_packed=True)
+    ex_f = QueryExecutor(spark, full, use_packed=True)
+    for q in ["merge buffer", '"table value"', "merge AND value", "scan OR value"]:
+        got = [(r["doc_id"], r["score"]) for r in ex_m.search(q, k=10).collect()]
+        want = [(r["doc_id"], r["score"]) for r in ex_f.search(q, k=10).collect()]
+        assert got == want, q
+
+
 def test_three_way_merge(spark):
     pdf = corpus.generate_pandas(90, seed=11)
     src = spark.createDataFrame(pdf)
