@@ -73,3 +73,36 @@ def test_build_then_query_jobs(corpus_dir, tmp_path_factory):
     assert [r["doc_id"] for r in wand_line["results"]] == [
         r["doc_id"] for r in lines[0]["results"]
     ]
+
+    # --- delta compaction deployment: split the corpus by doc parity, build
+    # two half indexes, fold them with jobs/merge_index.py, and the merged
+    # root must serve IDENTICAL results to the full index above through
+    # jobs/query.py (fresh processes throughout)
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("jobs_merge")
+    full_pdf = pd.read_parquet(corpus_dir)
+    a_path, b_path = str(d / "a.parquet"), str(d / "b.parquet")
+    full_pdf[full_pdf.doc_id % 2 == 0].to_parquet(a_path, index=False)
+    full_pdf[full_pdf.doc_id % 2 == 1].to_parquet(b_path, index=False)
+    out_a, out_b, out_m = str(d / "ix_a"), str(d / "ix_b"), str(d / "ix_m")
+    _run(["jobs/build_index.py", "--source", a_path, "--out", out_a])
+    _run(["jobs/build_index.py", "--source", b_path, "--out", out_b])
+    mout = _run(["jobs/merge_index.py", "--out", out_m, out_a, out_b])
+    msummary = json.loads(mout.strip().splitlines()[-1])
+    assert msummary["n_docs"] == 150
+    assert os.path.exists(os.path.join(out_m, "build_summary.json"))
+
+    stdout5 = _run([
+        "jobs/query.py", "--index", out_m, "--source", corpus_dir,
+        "buffer merge", '"merge sort buffer"',
+    ])
+    mlines = [
+        json.loads(l) for l in stdout5.strip().splitlines() if l.startswith("{")
+    ]
+    for merged_line, full_line in zip(mlines, lines):
+        assert [r["doc_id"] for r in merged_line["results"]] == [
+            r["doc_id"] for r in full_line["results"]
+        ]
+        for mr, fr in zip(merged_line["results"], full_line["results"]):
+            assert abs(mr["score"] - fr["score"]) < 1e-9
