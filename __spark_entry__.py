@@ -389,6 +389,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_score"] = lambda spark, sf: _textstats.quality_score(_docs(spark, sf))
     q["token_counts"] = lambda spark, sf: _textstats.token_counts(_docs(spark, sf))
     q["fingerprint"] = lambda spark, sf: _textstats.fingerprint(_docs(spark, sf))
+    # Gopher-style repetition signals (dup-token / top-token / dup-bigram
+    # ratios) — the boilerplate filter of a training-data curation pipeline
+    q["repetition"] = lambda spark, sf: _textstats.repetition_stats(
+        _docs(spark, sf)
+    )
     # PII scrubbing over documents with deterministically planted PII
     # (email -> phone -> ip replacement order is part of the contract)
     q["pii_redaction"] = lambda spark, sf: _textstats.redact_pii(_pii_docs(spark, sf))
@@ -1180,6 +1185,41 @@ SELECT doc_id,
        md5(array_to_string(l, ' ')) AS fp_norm,
        md5(array_to_string(l[1:16], ' ')) AS fp_prefix
 FROM t
+"""
+    o["repetition"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '[a-z-_]+'),
+                     t -> length(t) >= 2) AS l
+  FROM documents
+),
+base AS (
+  SELECT doc_id, l, len(l)::BIGINT AS n, len(list_distinct(l))::BIGINT AS nd
+  FROM t
+),
+freq AS (
+  SELECT doc_id, max(c) AS top FROM (
+    SELECT doc_id, count(*) AS c
+    FROM t, unnest(l) AS u(tok) GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+),
+g2 AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n2,
+         count(DISTINCT (l[i] || ' ' || l[i + 1]))::BIGINT AS nd2
+  FROM t, unnest(range(1, len(l))) AS r(i)
+  GROUP BY t.doc_id
+)
+SELECT b.doc_id,
+       b.n AS n_tokens,
+       floor((CASE WHEN b.n > 0 THEN 1.0 - b.nd / b.n::DOUBLE ELSE 0.0 END)
+             * 1e6 + 0.5) / 1e6 AS dup_token_ratio,
+       floor((CASE WHEN b.n > 0 THEN coalesce(f.top, 0) / b.n::DOUBLE
+              ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS top_token_ratio,
+       floor((CASE WHEN coalesce(g.n2, 0) > 0 THEN 1.0 - g.nd2 / g.n2::DOUBLE
+              ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS dup_2gram_ratio
+FROM base b
+LEFT JOIN freq f USING (doc_id)
+LEFT JOIN g2 g USING (doc_id)
 """
     # pii_redaction: same planted suffixes as _pii_docs; counts on the
     # original (augmented) text, then email -> phone -> ip replacement in

@@ -91,6 +91,54 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, dup_token_ratio, top_token_ratio, dup_2gram_ratio)
+    — Gopher-style repetition signals (Rae et al. 2021, public): training
+    docs dominated by repeated tokens or bigrams are boilerplate/templated
+    content a curation pipeline filters out.
+
+    * dup_token_ratio  = 1 - distinct_tokens / tokens
+    * top_token_ratio  = max token frequency / tokens
+    * dup_2gram_ratio  = 1 - distinct_bigrams / bigrams
+
+    Pure codegen: ratios derive from array ops over the token list (the
+    top-frequency fold is O(n * distinct) JVM work per row — rows are
+    independent, no shuffle, no Python). floor(x*1e6+0.5)/1e6 rounding per
+    the engine-parity float convention."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    top = F.aggregate(
+        F.array_distinct(toks),
+        F.lit(0),
+        lambda acc, t: F.greatest(
+            acc, F.size(F.filter(toks, lambda x: x == t))
+        ),
+    )
+    pair_len = F.greatest(n - 1, F.lit(0))
+    g2 = F.zip_with(
+        F.slice(toks, 1, pair_len),
+        F.slice(toks, 2, pair_len),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    n2 = F.size(g2)
+    nd2 = F.size(F.array_distinct(g2))
+
+    def _r6(x):
+        return F.floor(x * 1e6 + F.lit(0.5)) / F.lit(1e6)
+
+    dup_tok = F.when(n > 0, 1.0 - nd.cast("double") / n).otherwise(F.lit(0.0))
+    top_tok = F.when(n > 0, top.cast("double") / n).otherwise(F.lit(0.0))
+    dup_2g = F.when(n2 > 0, 1.0 - nd2.cast("double") / n2).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        _r6(dup_tok).alias("dup_token_ratio"),
+        _r6(top_tok).alias("top_token_ratio"),
+        _r6(dup_2g).alias("dup_2gram_ratio"),
+    )
+
+
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, ws_tokens, bpe_ish_tokens, chars): whitespace split count and a
     BPE-ish proxy (alnum runs + non-space punctuation marks counted singly)."""

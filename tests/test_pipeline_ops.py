@@ -66,3 +66,32 @@ def test_contamination_includes_every_doc(spark):
     bench = spark.createDataFrame([(9, "zz yy xx ww")], "doc_id long, text string")
     got = {r["doc_id"] for r in contamination_scores(docs, bench).collect()}
     assert got == {0, 1}
+
+
+def test_repetition_stats_golden(spark):
+    """Hand-computed Gopher-style repetition ratios (length->=2 tokens)."""
+    from awesome_spark_search.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aa aa aa bb"),          # n=4 nd=2 top=3; bigrams 3, distinct 2
+            (1, "xx yy zz"),             # no repetition at all
+            (2, "solo"),                 # single token -> no bigrams
+            (3, ""),                     # empty
+            (4, "ab ab ab ab"),          # fully repeated
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert got[0]["n_tokens"] == 4
+    assert abs(got[0]["dup_token_ratio"] - 0.5) < 1e-9
+    assert abs(got[0]["top_token_ratio"] - 0.75) < 1e-9
+    assert abs(got[0]["dup_2gram_ratio"] - 0.333333) < 1e-9
+    assert got[1]["dup_token_ratio"] == 0.0
+    assert got[1]["top_token_ratio"] == 0.333333
+    assert got[2]["n_tokens"] == 1 and got[2]["dup_2gram_ratio"] == 0.0
+    assert got[3]["n_tokens"] == 0
+    assert got[3]["dup_token_ratio"] == 0.0 == got[3]["top_token_ratio"]
+    assert got[4]["dup_token_ratio"] == 0.75
+    assert got[4]["top_token_ratio"] == 1.0
+    assert got[4]["dup_2gram_ratio"] == 0.666667  # 3 bigrams, 1 distinct
