@@ -982,8 +982,8 @@ shingle AS (
 perms AS (SELECT unnest(range(0, 8)) AS p),
 hashed AS (
   SELECT s.doc_id, p.p,
-         ('0x' || substr(md5('g' || (p.p // 4) || '|' || s.shingle_hash),
-                         1 + 8 * (p.p % 4), 8))::BIGINT AS h
+         (((1103515245 * (p.p + 1) + 12345) % 2147483647) * s.shingle_hash
+          + ((69069 * (p.p + 1) + 1) % 2147483647)) % 4294967291 AS h
   FROM shingle s CROSS JOIN perms p
 ),
 sig AS (

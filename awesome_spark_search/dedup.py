@@ -38,11 +38,19 @@ def _md5_i64(col):
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
-def _md5_slot_i64(col, slot: int):
-    """Hex chars [8*slot, 8*slot+8) of md5 -> bigint — four independent
-    32-bit hashes per digest. Catalyst's subexpression elimination computes
-    each md5 once, so 8 MinHash permutations cost 2 digests, not 8."""
-    return F.conv(F.substring(F.md5(col), 1 + 8 * slot, 8), 16, 10).cast("long")
+MINHASH_P = 4294967291  # largest prime < 2^32
+
+
+def _perm_consts(i: int) -> tuple[int, int]:
+    """Multiplier/offset of permutation i for the universal-hash family
+    h_i(x) = (a_i*x + b_i) mod MINHASH_P. Classic LCG constants generate
+    them so the DuckDB oracle reproduces the exact numbers from ``p`` alone;
+    a_i, b_i < 2^31 and x < 2^32 keep a_i*x + b_i < 2^63 — no BIGINT
+    overflow in EITHER engine (DuckDB raises on overflow, Spark wraps;
+    staying under 2^63 sidesteps both)."""
+    a = (1103515245 * (i + 1) + 12345) % 2147483647
+    b = (69069 * (i + 1) + 1) % 2147483647
+    return a, b
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -84,7 +92,13 @@ def shingles(docs: DataFrame, text_col: str = "text", k: int = SHINGLE_K,
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", n_perms: int = MINHASH_PERMS
 ) -> DataFrame:
-    """(doc_id, sig: array<long>) — permutation i = md5(i || shingle).
+    """(doc_id, sig: array<long>) — permutation i is the universal hash
+    h_i(x) = (a_i*x + b_i) mod P over the md5-derived shingle_hash
+    (x in [0, 2^32), P the largest prime < 2^32, a_i/b_i from
+    ``_perm_consts``). Pure integer codegen: the md5 runs ONCE per shingle
+    occurrence (inside ``shingles``) and every permutation is a
+    multiply-add-mod — no per-permutation digest/substring/base-conversion
+    chain (the round-3 profile's dominant q_lsh_pairs cost).
 
     One explode + one groupBy(doc_id); the k mins aggregate in a single pass
     (map-side partial min per permutation). Duplicate shingles don't change
@@ -94,9 +108,10 @@ def minhash_signatures(
     per = sh.select(
         "doc_id",
         *[
-            _md5_slot_i64(
-                F.concat(F.lit(f"g{i // 4}|"), F.col("shingle_hash").cast("string")),
-                i % 4,
+            F.pmod(
+                F.lit(_perm_consts(i)[0]) * F.col("shingle_hash")
+                + F.lit(_perm_consts(i)[1]),
+                F.lit(MINHASH_P),
             ).alias(f"h{i}")
             for i in range(n_perms)
         ],
