@@ -46,9 +46,15 @@ class QueryExecutor:
         scorer: str = "bm25",
         n_term_buckets: int = DEFAULT_TERM_BUCKETS,
         use_packed: bool = False,
+        fielded_index=None,
     ):
         self.spark = spark
         self.index = index
+        # a fields.FieldedPackedIndex built over the SAME corpus: keyword
+        # queries then rank zone-weighted (the reference's QueryProcessor
+        # always applies ContentType weights, ref: DocumentRanker.java:
+        # 138-167); spelling/vocab/snippets/PRF keep using ``index``
+        self.fielded_index = fielded_index
         self.citations = citations
         self.packed_citations = packed_citations
         self.source_df = source_df
@@ -391,6 +397,21 @@ class QueryExecutor:
         return self._localize(rows)
 
     def _run_once(self, pq: Q.ParsedQuery, k: int) -> list:
+        if (
+            self.fielded_index is not None
+            and self.scorer == "bm25"
+            and pq.prf == 0
+            and isinstance(pq.ast, Q.Keyword)
+        ):
+            from .fields import fielded_wand_topk
+
+            exact, prefixes, _ = self.resolve_terms(pq.ast.terms)
+            expanded = self._expand_prefixes(prefixes)
+            if expanded is not None:
+                return fielded_wand_topk(
+                    self.spark, self.fielded_index, exact + expanded, k=k,
+                    n_term_buckets=self.n_buckets,
+                ).collect()
         if self.use_packed and self.scorer == "bm25":
             from . import wand as _wand
 

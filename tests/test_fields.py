@@ -176,6 +176,40 @@ def test_packed_fielded_four_zone_preset(spark):
         assert abs(got[d] - w) < 1e-9, (d, got[d], w)
 
 
+def test_executor_serves_fielded_keyword(spark):
+    """QueryExecutor(fielded_index=...) routes keyword queries through the
+    zone-weighted packed scorer — full search() pipeline (tokenize, vocab,
+    localization) with fielded ranking, like the reference's always-zoned
+    DocumentRanker."""
+    from pyspark.sql import functions as F
+
+    from awesome_spark_search.build import build_index
+    from awesome_spark_search.executor import QueryExecutor
+
+    df = _big_corpus(spark)
+    weights = {"body": 1.0, "title": 0.5}
+    fidx = build_fielded_packed(spark, df, weights, do_stem=False)
+    # the plain index (concat of fields) supplies vocab/corrections/snippets
+    idx = build_index(
+        spark,
+        df.select(
+            "doc_id",
+            F.concat_ws(" ", "body", "title").alias("content"),
+        ),
+        do_stem=False, build_packed=True,
+    )
+    ex = QueryExecutor(spark, idx, use_packed=True, fielded_index=fidx)
+    got = ex.search("merge buffer gamma", k=10).collect()
+    want = fielded_wand_topk(
+        spark, fidx, ["merge", "buffer", "gamma"], k=10
+    ).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for g, w in zip(got, want):
+        assert abs(g["score"] - w["score"]) < 1e-9
+    # phrase queries still serve off the plain packed index
+    assert ex.search('"merge buffer"', k=5).collect() is not None
+
+
 def test_packed_fielded_empty_and_missing_terms(spark):
     df = _big_corpus(spark, n=8)
     weights = {"body": 1.0, "title": 2.0}
