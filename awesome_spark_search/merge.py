@@ -114,9 +114,16 @@ def _refresh_bounds(r, avgdl: float, n_buckets: int) -> dict:
     return out
 
 
-def _merge_stream_factory(avgdl: float, n_buckets: int):
+def _merge_stream_factory(
+    avgdl: float,
+    n_buckets: int,
+    field_avgdl: dict[str, float] | None = None,
+):
     """mapInPandas merger over a partition sorted by (term, doc_shard) —
-    the builder's streaming discipline: whole batches, tail-group buffer."""
+    the builder's streaming discipline: whole batches, tail-group buffer.
+    With ``field_avgdl`` the group key extends to (field, term, doc_shard)
+    and each group's dl normalizer is its FIELD's merged avgdl (fielded
+    packed tables — fields.PACKED_FIELDED_SCHEMA)."""
 
     def _merge_head(head: pd.DataFrame) -> pd.DataFrame:
         terms = head["term"].to_numpy()
@@ -125,18 +132,23 @@ def _merge_stream_factory(avgdl: float, n_buckets: int):
         new = np.empty(n, dtype=bool)
         new[0] = True
         new[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+        if field_avgdl is not None:
+            farr = head["field"].to_numpy()
+            new[1:] |= farr[1:] != farr[:-1]
         gstart = np.flatnonzero(new)
         gend = np.append(gstart[1:], n)
         out_rows = []
         for s, e in zip(gstart.tolist(), gend.tolist()):
+            adl = avgdl if field_avgdl is None else field_avgdl[head["field"].iloc[s]]
             if e - s == 1:
-                out_rows.append(_refresh_bounds(head.iloc[s], avgdl, n_buckets))
+                row = _refresh_bounds(head.iloc[s], adl, n_buckets)
             else:
-                out_rows.append(
-                    _merge_rows(
-                        [head.iloc[i] for i in range(s, e)], avgdl, n_buckets
-                    )
+                row = _merge_rows(
+                    [head.iloc[i] for i in range(s, e)], adl, n_buckets
                 )
+            if field_avgdl is not None:
+                row["field"] = head["field"].iloc[s]
+            out_rows.append(row)
         return pd.DataFrame(out_rows)
 
     def merge_iter(batches):
@@ -150,6 +162,8 @@ def _merge_stream_factory(avgdl: float, n_buckets: int):
             tail = (pdf["term"] == last["term"]) & (
                 pdf["doc_shard"] == last["doc_shard"]
             )
+            if field_avgdl is not None:
+                tail &= pdf["field"] == last["field"]
             buf = pdf[tail]
             head = pdf[~tail]
             if len(head):
@@ -253,4 +267,67 @@ def merge_packed_indexes(
         stats=stats,
         do_stem=indexes[0].do_stem,
         doc_shard_size=indexes[0].doc_shard_size,
+    )
+
+
+def merge_fielded_packed(
+    spark: SparkSession,
+    fidxs: list,
+    *,
+    n_term_buckets: int = DEFAULT_TERM_BUCKETS,
+    cache: bool = True,
+):
+    """Fold k fielded packed indexes (fields.FieldedPackedIndex) over
+    DISJOINT doc sets — the zone-weighted analog of
+    ``merge_packed_indexes``. Per-field merged avgdl is the doc-count
+    weighted mean (every doc carries every field, so weights are the
+    source n_docs); each group's block_max refreshes against ITS field's
+    merged avgdl. Global term_stats sum (df/cf add under disjoint doc
+    sets). Callers must guarantee disjointness (FieldedPackedIndex keeps
+    no doc_map to probe) — the kernel still rejects duplicate doc_ids
+    inside any colliding (field, term, doc_shard) group."""
+    from .fields import FieldedPackedIndex, PACKED_FIELDED_SCHEMA
+
+    assert len(fidxs) >= 2, "need at least two fielded indexes to merge"
+    weights = fidxs[0].field_weights
+    assert all(ix.field_weights == weights for ix in fidxs), (
+        "field_weights must match across sources"
+    )
+    shard_sizes = {ix.doc_shard_size for ix in fidxs}
+    assert len(shard_sizes) == 1, (
+        f"doc_shard_size must match across sources, got {shard_sizes}"
+    )
+    n_docs = sum(ix.n_docs for ix in fidxs)
+    avgdl_by_field = {
+        f: sum(ix.avgdl_by_field[f] * ix.n_docs for ix in fidxs) / n_docs
+        for f in weights
+    }
+
+    packed_u = fidxs[0].packed
+    for ix in fidxs[1:]:
+        packed_u = packed_u.unionByName(ix.packed)
+    merged = (
+        packed_u.repartition("field", "term", "doc_shard")
+        .sortWithinPartitions("field", "term", "doc_shard")
+        .mapInPandas(
+            _merge_stream_factory(
+                0.0, n_term_buckets, field_avgdl=avgdl_by_field
+            ),
+            PACKED_FIELDED_SCHEMA,
+        )
+    )
+    ts_u = fidxs[0].term_stats.select("term", "df", "cf")
+    for ix in fidxs[1:]:
+        ts_u = ts_u.unionByName(ix.term_stats.select("term", "df", "cf"))
+    term_stats = (
+        ts_u.groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .withColumn("term_bucket", term_bucket_col(F.col("term"), n_term_buckets))
+    )
+    if cache:
+        merged = merged.persist()
+        term_stats = term_stats.persist()
+    return FieldedPackedIndex(
+        merged, term_stats, dict(weights), avgdl_by_field,
+        n_docs, fidxs[0].doc_shard_size,
     )

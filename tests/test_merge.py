@@ -176,6 +176,42 @@ def test_streamed_delta_merges_onto_batch_base(spark, tmp_path):
         assert got == want, q
 
 
+def test_fielded_merge_matches_rebuild(spark):
+    """merge_fielded_packed: zone-weighted serving off the merged fielded
+    index must match the index rebuilt over the union corpus (per-field
+    weighted-mean avgdl, summed global term_stats)."""
+    from awesome_spark_search.fields import build_fielded_packed, fielded_wand_topk
+    from awesome_spark_search.merge import merge_fielded_packed
+
+    def _word(i):
+        return ["merge", "buffer", "sort", "alpha", "beta", "gamma", "delta"][i % 7]
+
+    rows = []
+    for d in range(40):
+        body = " ".join(_word(d + j) for j in range(1 + (d * 3) % 9))
+        title = " ".join(_word(d * 2 + j) for j in range(1 + d % 3))
+        rows.append((d, body, title))
+    df = spark.createDataFrame(rows, "doc_id long, body string, title string")
+    weights = {"body": 1.0, "title": 0.5}
+    kw = dict(do_stem=False, doc_shard_size=8)
+    full = build_fielded_packed(spark, df, weights, **kw)
+    fa = build_fielded_packed(spark, df.filter("doc_id % 2 = 0"), weights, **kw)
+    fb = build_fielded_packed(spark, df.filter("doc_id % 2 = 1"), weights, **kw)
+    merged = merge_fielded_packed(spark, [fa, fb])
+    assert merged.n_docs == 40
+    for f in weights:
+        assert abs(merged.avgdl_by_field[f] - full.avgdl_by_field[f]) < 1e-9
+    ts_m = {r["term"]: (r["df"], r["cf"]) for r in merged.term_stats.collect()}
+    ts_f = {r["term"]: (r["df"], r["cf"]) for r in full.term_stats.collect()}
+    assert ts_m == ts_f
+    for terms in (["merge"], ["merge", "buffer", "gamma"]):
+        got = fielded_wand_topk(spark, merged, terms, k=10).collect()
+        want = fielded_wand_topk(spark, full, terms, k=10).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], terms
+        for g, w in zip(got, want):
+            assert abs(g["score"] - w["score"]) < 1e-9
+
+
 def test_three_way_merge(spark):
     pdf = corpus.generate_pandas(90, seed=11)
     src = spark.createDataFrame(pdf)
