@@ -353,6 +353,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(spark, sf), _query_vec(spark, sf), k=10
         ).select("vec_id", F.round("cosine", 4).alias("cosine"))
     )
+    # int8-quantized cosine top-k: the 4x-storage ANN path — scales cancel
+    # out of the score, so ranking runs on integer dots/norms; the oracle
+    # re-derives the identical floor(x/s+0.5) quantization in SQL
+    q["cosine_topk_int8"] = lambda spark, sf: (
+        _similarity.quantized_topk(
+            _similarity.quantize_embeddings(_emb(spark, sf)),
+            _query_vec(spark, sf), k=10,
+        ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+    )
     # centroid-blocked (IVF) pairing — the sub-quadratic scale path IS the
     # value-checked path; the all-pairs form is a test-only baseline
     # (tests/test_similarity.py)
@@ -1065,6 +1074,35 @@ FROM votes GROUP BY doc_id
 SELECT vec_id, round({cos_expr}, 4) AS cosine
 FROM embeddings e
 ORDER BY {cos_expr} DESC, vec_id ASC LIMIT 10
+"""
+    # int8 quantization replica: same floor(x/s+0.5) clamp formula on both
+    # sides; dots/norms are exact small-int sums in double, so the score is
+    # bit-deterministic across engines
+    _quant = (
+        "CASE WHEN s = 0 THEN list_transform(v, x -> 0.0) ELSE "
+        "list_transform(v, x -> greatest(-127.0, least(127.0, "
+        "floor(x / s + 0.5)))) END"
+    )
+    o["cosine_topk_int8"] = f"""
+WITH ev AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS s
+  FROM embeddings
+),
+eq AS (SELECT vec_id, {_quant} AS q FROM ev),
+qq AS (SELECT q AS qv FROM eq WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         CASE WHEN sqrt(list_dot_product(e.q, e.q))
+                   * sqrt(list_dot_product(qq.qv, qq.qv)) = 0 THEN 0.0
+              ELSE list_dot_product(e.q, qq.qv)
+                   / (sqrt(list_dot_product(e.q, e.q))
+                      * sqrt(list_dot_product(qq.qv, qq.qv)))
+         END AS c
+  FROM eq e CROSS JOIN qq
+)
+SELECT vec_id, round(c, 4) AS cosine
+FROM scored ORDER BY c DESC, vec_id ASC LIMIT 10
 """
     # cluster-blocked: pairs form only within a centroid cell (mirrors the
     # Spark IVF blocking; assignment tie-break = lowest centroid id)

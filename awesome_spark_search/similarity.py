@@ -143,3 +143,70 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization — the standard 4x storage/bandwidth cut for ANN at scale
+# (a 100 TB embedding store becomes 25 TB; scan-bound top-k gets the same
+# speedup). Symmetric per-vector quantization: q_i = round(x_i / s) with
+# s = max|x| / 127, kept engine-parity-deterministic via floor(x + 0.5).
+# Cosine over quantized vectors needs NO dequantization: the per-vector
+# scale cancels in dot(q_a,q_b) / (|q_a| |q_b|).
+# ---------------------------------------------------------------------------
+
+
+def quantize_query(query_vec: list[float]) -> list[int]:
+    """Driver-side quantization of the query vector — the same
+    floor(x/s + 0.5) formula as ``quantize_embeddings``, so a literal copy
+    of the result can be inlined into oracle SQL."""
+    import math
+
+    s = max(abs(float(x)) for x in query_vec) / 127.0
+    if s == 0.0:
+        return [0] * len(query_vec)
+    return [
+        max(-127, min(127, int(math.floor(float(x) / s + 0.5))))
+        for x in query_vec
+    ]
+
+
+def quantize_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, scale, qvec: array<int>) — symmetric per-vector int8 range.
+    Pure codegen transform; an all-zero vector quantizes to zeros with
+    scale 0 (its cosine against anything is defined as 0 downstream)."""
+    v = F.col(vec_col).cast("array<double>")
+    s = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    q = F.when(s == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127), F.least(F.lit(127), F.floor(x / s + F.lit(0.5)))
+            ).cast("int"),
+        )
+    )
+    return emb.select(F.col(id_col), s.alias("scale"), q.alias("qvec"))
+
+
+def quantized_topk(
+    emb_q: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cosine top-k over the int8-quantized store: (vec_id, cosine) with the
+    scales cancelled out of the score — integer dot / integer norms, one
+    narrow scan + TakeOrderedAndProject exactly like ``brute_force_topk``
+    (ties broken by vec_id ASC). ``emb_q`` is ``quantize_embeddings``
+    output."""
+    qq = quantize_query(query_vec)
+    qlit = F.array(*[F.lit(int(x)) for x in qq])
+    qn = _py_norm([float(x) for x in qq])
+    v = F.col("qvec").cast("array<double>")
+    denom = _norm(v) * F.lit(qn)
+    scored = emb_q.select(
+        F.col(id_col),
+        F.when(denom == 0.0, F.lit(0.0))
+        .otherwise(_dot(v, qlit.cast("array<double>")) / denom)
+        .alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)

@@ -71,3 +71,33 @@ def test_ivf_disk_layout_prunes_partitions(spark, emb, emb_pdf, centroids, tmp_p
     # identical to the in-memory IVF path
     want = [r["vec_id"] for r in ivf_topk(emb, centroids, q, k=5, nprobe=2).collect()]
     assert [r["vec_id"] for r in rows] == want
+
+
+def test_int8_quantized_topk_recall_and_schema(spark, emb):
+    """int8 quantization: top-10 overlaps heavily with the exact scan (the
+    score error of symmetric per-vector int8 is ~1e-2 on random vectors) and
+    the scales genuinely cancel (scores within quantization error)."""
+    from awesome_spark_search.similarity import (
+        brute_force_topk,
+        quantize_embeddings,
+        quantized_topk,
+        quantize_query,
+    )
+
+    qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    exact = brute_force_topk(emb, qvec, k=10).collect()
+    eq = quantize_embeddings(emb)
+    got = quantized_topk(eq, qvec, k=10).collect()
+    assert len(got) == 10
+    overlap = {r["vec_id"] for r in got} & {r["vec_id"] for r in exact}
+    assert len(overlap) >= 7, overlap
+    # the query matches itself at cosine ~1 in both
+    assert got[0]["vec_id"] == exact[0]["vec_id"] == 0
+    assert abs(got[0]["cosine"] - 1.0) < 1e-9
+    ex = {r["vec_id"]: r["cosine"] for r in exact}
+    for r in got:
+        if r["vec_id"] in ex:
+            assert abs(r["cosine"] - ex[r["vec_id"]]) < 0.02
+    # all-zero vector edge: scale 0, qvec zeros, cosine 0
+    zq = quantize_query([0.0, 0.0])
+    assert zq == [0, 0]
