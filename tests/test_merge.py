@@ -125,6 +125,28 @@ def test_block_max_refreshed_against_merged_avgdl(spark):
         assert np.allclose(got, np.asarray(r["block_max"])), r["term"]
 
 
+def test_empty_delta_merge_is_identity(spark):
+    """Compacting with an EMPTY delta (a no-new-docs day) must leave serving
+    identical to the base — stats unchanged, bounds still exact."""
+    pdf = corpus.generate_pandas(60, seed=3)
+    src = spark.createDataFrame(pdf)
+    kw = dict(do_stem=False, build_packed=True, doc_shard_size=16)
+    base = build_index(spark, src, **kw)
+    empty = build_index(spark, src.filter("doc_id < 0"), **kw)
+    merged = merge_packed_indexes(spark, [base, empty])
+    assert merged.stats.n_docs == base.stats.n_docs
+    assert abs(merged.stats.avgdl - base.stats.avgdl) < 1e-12
+    terms = sorted(
+        r["term"] for r in base.term_stats.orderBy("df", ascending=False)
+        .limit(3).collect()
+    )
+    got = wand_topk(spark, merged, terms, k=10).collect()
+    want = wand_topk(spark, base, terms, k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
 def test_overlapping_doc_ids_rejected(spark):
     full, ia, _ = _split_indexes(spark)
     with pytest.raises(ValueError, match="share doc_ids"):
