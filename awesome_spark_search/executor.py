@@ -407,6 +407,10 @@ class QueryExecutor:
 
             exact, prefixes, _ = self.resolve_terms(pq.ast.terms)
             expanded = self._expand_prefixes(prefixes)
+            # expanded is None only for a prefix query past the vocab cache
+            # (no dictionary to expand against): the query then falls
+            # through to the plain packed/long-table plan, i.e. UNFIELDED
+            # ranking — zone weights need enumerable prefix expansions
             if expanded is not None:
                 return fielded_wand_topk(
                     self.spark, self.fielded_index, exact + expanded, k=k,
