@@ -251,3 +251,88 @@ def test_three_way_merge(spark):
     got = wand_topk(spark, merged, [t], k=5).collect()
     want = wand_topk(spark, full, [t], k=5).collect()
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+
+
+# ---------------------------------------------------------------------------
+# kernel-level property: for ANY split of a posting group across sources,
+# _merge_rows produces byte-identical output to packing the union directly
+# (the merged == rebuilt invariant at codec granularity, incl. groups that
+# cross the 128-posting block boundary)
+# ---------------------------------------------------------------------------
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _split_groups(draw):
+    n_srcs = draw(st.integers(min_value=2, max_value=3))
+    ids = sorted(draw(st.sets(
+        st.integers(min_value=0, max_value=600), min_size=n_srcs, max_size=300
+    )))
+    src_of = [draw(st.integers(min_value=0, max_value=n_srcs - 1)) for _ in ids]
+    # every source must own at least one doc
+    for s in range(n_srcs):
+        if s not in src_of:
+            src_of[s] = s
+    docs = []
+    for d in ids:
+        tf = draw(st.integers(min_value=1, max_value=5))
+        first = draw(st.integers(min_value=0, max_value=50))
+        gaps = [draw(st.integers(min_value=1, max_value=9)) for _ in range(tf - 1)]
+        positions = [first]
+        for g in gaps:
+            positions.append(positions[-1] + g)
+        dl = draw(st.integers(min_value=1, max_value=300))
+        docs.append((d, tf, dl, positions))
+    avgdl = draw(st.floats(min_value=1.0, max_value=250.0))
+    return n_srcs, src_of, docs, avgdl
+
+
+def _pack_group(rows):
+    from awesome_spark_search.build import _pack_many
+
+    pdf = pd.DataFrame(
+        {
+            "term": ["t"] * len(rows),
+            "doc_shard": [0] * len(rows),
+            "doc_id": [r[0] for r in rows],
+            "tf": [r[1] for r in rows],
+            "doc_len": [r[2] for r in rows],
+            "positions": [r[3] for r in rows],
+        }
+    ).sort_values("doc_id")
+    return _pack_many(pdf, 10.0, 8)  # pack-time avgdl irrelevant to blobs
+
+
+@given(_split_groups())
+@settings(max_examples=40, deadline=None)
+def test_merge_rows_equals_direct_pack_property(case):
+    from awesome_spark_search.build import _pack_many
+    from awesome_spark_search.merge import _merge_rows
+
+    n_srcs, src_of, docs, avgdl = case
+    per_src = [[d for d, s in zip(docs, src_of) if s == i] for i in range(n_srcs)]
+    rows = [_pack_group(p).iloc[0] for p in per_src if p]
+    merged = _merge_rows(rows, avgdl, 8)
+
+    want = _pack_many(
+        pd.DataFrame(
+            {
+                "term": ["t"] * len(docs),
+                "doc_shard": [0] * len(docs),
+                "doc_id": [d[0] for d in docs],
+                "tf": [d[1] for d in docs],
+                "doc_len": [d[2] for d in docs],
+                "positions": [d[3] for d in docs],
+            }
+        ).sort_values("doc_id"),
+        avgdl, 8,
+    ).iloc[0]
+    for col in ("n", "cf", "doc_ids_vb", "tfs_vb", "dls_vb", "pos_vb"):
+        assert merged[col] == want[col], col
+    for col in ("blk_doc_off", "blk_tf_off", "blk_dl_off", "blk_pos_off",
+                "blk_first_doc"):
+        assert list(merged[col]) == list(want[col]), col
+    assert np.allclose(merged["block_max"], list(want["block_max"]))
