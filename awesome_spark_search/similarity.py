@@ -210,3 +210,29 @@ def quantized_topk(
         .alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_topk_quantized(
+    emb: DataFrame, centroids: list[list[float]], query_vec: list[float],
+    k: int = 10, nprobe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """The two scale levers composed: IVF cluster pruning (scan nprobe/nlist
+    of the corpus) over the int8-quantized store (4x fewer bytes per scanned
+    row). Centroid shortlist happens driver-side exactly like
+    ``read_ivf_topk``; the rerank is ``quantized_topk``'s integer-dot
+    cosine. At scale the quantized vectors are written
+    partitionBy(cluster) once (``write_ivf_index`` layout with qvec/scale
+    columns) and this becomes a partition-pruned scan."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    sims = (cents @ q) / (np.linalg.norm(cents, axis=1) * np.linalg.norm(q) + 1e-30)
+    probe = [int(c) for c in np.argsort(-sims)[:nprobe]]
+    assigned = assign_ivf_clusters(emb, centroids, id_col, vec_col)
+    pruned = emb.join(
+        assigned.filter(F.col("cluster").isin(probe)), id_col, "left_semi"
+    )
+    return quantized_topk(quantize_embeddings(pruned, id_col, vec_col),
+                          query_vec, k, id_col)

@@ -101,3 +101,32 @@ def test_int8_quantized_topk_recall_and_schema(spark, emb):
     # all-zero vector edge: scale 0, qvec zeros, cosine 0
     zq = quantize_query([0.0, 0.0])
     assert zq == [0, 0]
+
+
+def test_ivf_quantized_composition(spark, emb, centroids):
+    """IVF pruning + int8 rerank together: results come only from the probed
+    clusters and agree with the float IVF path's candidates."""
+    from awesome_spark_search.similarity import (
+        assign_ivf_clusters,
+        ivf_topk,
+        ivf_topk_quantized,
+    )
+    from pyspark.sql import functions as F
+
+    qvec = [float(x) for x in emb.filter("vec_id = 1").collect()[0]["embedding"]]
+    got = ivf_topk_quantized(emb, centroids, qvec, k=10, nprobe=2).collect()
+    ref = ivf_topk(emb, centroids, qvec, k=10, nprobe=2).collect()
+    assert len(got) == 10
+    overlap = {r["vec_id"] for r in got} & {r["vec_id"] for r in ref}
+    assert len(overlap) >= 7, overlap
+    # every result must come from a probed cluster (the pruning is real)
+    import numpy as np
+
+    q = np.asarray(qvec); cents = np.asarray(centroids, dtype=np.float64)
+    sims = (cents @ q) / (np.linalg.norm(cents, axis=1) * np.linalg.norm(q) + 1e-30)
+    probe = set(int(c) for c in np.argsort(-sims)[:2])
+    clusters = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_ivf_clusters(emb, centroids).collect()
+    }
+    assert all(clusters[r["vec_id"]] in probe for r in got)
