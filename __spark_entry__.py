@@ -905,6 +905,10 @@ idcg AS (
 )
 SELECT floor((dcg.v / idcg.v) * 1e6 + 0.5) / 1e6 AS ndcg FROM dcg, idcg
 """
+    # LIMIT 100 matches the Spark side's search(..., k=100): both sides
+    # truncate identically under the same recency order, so the entry stays
+    # green even at a scale factor where the target's citation fan-in
+    # exceeds k (ADVICE r4)
     o["linkto"] = """
 WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
 e AS (
@@ -912,7 +916,8 @@ e AS (
   UNION
   SELECT doc_id AS src, (doc_id * 3 + 101) % n.n AS dst FROM documents, n
 )
-SELECT src AS doc_id FROM e WHERE dst = 42 AND src != dst ORDER BY doc_id DESC
+SELECT src AS doc_id FROM e WHERE dst = 42 AND src != dst
+ORDER BY doc_id DESC LIMIT 100
 """
     # pagerank_top10: power iteration (damping 0.85, dangling mass folded
     # back uniformly — ref: src/querying/ranking/PageRankCalculator.java:53-82)

@@ -378,8 +378,11 @@ class QueryExecutor:
         (ref: QueryProcessor.java:397-417). With the cached dictionary the
         existence check is O(1) on the driver and the happy path stays ONE
         Spark action; past ``VOCAB_CACHE_MAX`` a Bloom filter built once
-        per index keeps it at ONE action per query too (no false
-        negatives, so typo detection is exact; see bloom.py). Only with
+        per index keeps it at ONE action per query too (no false negatives
+        on membership, so a wrong correction is never invented; a false
+        positive (~2^-11/absent term) may rarely suppress one correction —
+        see bloom.py; the cached-vocab and semi-filter paths are exact).
+        Only with
         ``USE_VOCAB_BLOOM=False`` does it cost a per-query ``isin``
         semi-filter of the (tiny) query-term list against term_stats.
         Applied corrections are exposed as ``last_corrections``. The returned

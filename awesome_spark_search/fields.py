@@ -160,6 +160,11 @@ class FieldedPackedIndex:
     avgdl_by_field: dict[str, float]
     n_docs: int
     doc_shard_size: int
+    # UNFLOORED per-field mean doc_len (avgdl_by_field floors an all-empty
+    # field to 1.0 for scoring). Merges combine the RAW means and floor only
+    # after, so merged == rebuilt holds even when a source's field was empty
+    # (ADVICE r4). None (legacy value) falls back to avgdl_by_field.
+    avgdl_raw_by_field: dict[str, float] | None = None
 
 
 def _pack_fielded_factory(avgdl_by_field: dict[str, float], n_buckets: int):
@@ -228,12 +233,16 @@ def build_fielded_packed(
     postings, field_lens, term_stats = build_fielded_postings(
         source_df, field_weights, do_stem=do_stem, n_term_buckets=n_term_buckets
     )
-    avgdl_by_field = {
-        r["field"]: float(r["avgdl"]) or 1.0
+    avgdl_raw_by_field = {
+        r["field"]: float(r["avgdl"])
         for r in field_lens.groupBy("field")
         .agg(F.avg("doc_len").alias("avgdl"))
         .collect()
     }
+    # scoring floor: an all-empty field has no postings, so the 1.0 is only
+    # a guard against div-by-zero in dl/avgdl — the RAW mean is what merges
+    # must combine (merge.merge_fielded_packed)
+    avgdl_by_field = {f: (v or 1.0) for f, v in avgdl_raw_by_field.items()}
     n_docs = source_df.count()
     with_shard = postings.withColumn(
         "doc_shard", (F.col("doc_id") / F.lit(doc_shard_size)).cast("long")
@@ -251,7 +260,7 @@ def build_fielded_packed(
         term_stats = term_stats.persist()
     return FieldedPackedIndex(
         packed, term_stats, dict(field_weights), avgdl_by_field,
-        n_docs, doc_shard_size,
+        n_docs, doc_shard_size, avgdl_raw_by_field,
     )
 
 

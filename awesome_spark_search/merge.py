@@ -298,10 +298,18 @@ def merge_fielded_packed(
         f"doc_shard_size must match across sources, got {shard_sizes}"
     )
     n_docs = sum(ix.n_docs for ix in fidxs)
-    avgdl_by_field = {
-        f: sum(ix.avgdl_by_field[f] * ix.n_docs for ix in fidxs) / n_docs
+    # combine the RAW (unfloored) per-field means — build_fielded_packed
+    # floors an all-empty field's avgdl to 1.0 for scoring, and averaging
+    # the floored values would diverge from a full rebuild whenever a
+    # source's field was empty (ADVICE r4); floor only AFTER combining
+    avgdl_raw_by_field = {
+        f: sum(
+            (ix.avgdl_raw_by_field or ix.avgdl_by_field)[f] * ix.n_docs
+            for ix in fidxs
+        ) / n_docs
         for f in weights
     }
+    avgdl_by_field = {f: (v or 1.0) for f, v in avgdl_raw_by_field.items()}
 
     packed_u = fidxs[0].packed
     for ix in fidxs[1:]:
@@ -329,5 +337,5 @@ def merge_fielded_packed(
         term_stats = term_stats.persist()
     return FieldedPackedIndex(
         merged, term_stats, dict(weights), avgdl_by_field,
-        n_docs, fidxs[0].doc_shard_size,
+        n_docs, fidxs[0].doc_shard_size, avgdl_raw_by_field,
     )

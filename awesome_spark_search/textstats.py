@@ -101,19 +101,30 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     * top_token_ratio  = max token frequency / tokens
     * dup_2gram_ratio  = 1 - distinct_bigrams / bigrams
 
-    Pure codegen: ratios derive from array ops over the token list (the
-    top-frequency fold is O(n * distinct) JVM work per row — rows are
-    independent, no shuffle, no Python). floor(x*1e6+0.5)/1e6 rounding per
+    Pure codegen: ratios derive from array ops over the token list — rows
+    are independent, no shuffle, no Python. The top-frequency fold sorts the
+    token array and takes the longest equal-run (O(n log n) per row,
+    adversarial-doc safe; the previous per-distinct filter scan was
+    O(n * distinct) — VERDICT r4 #7). floor(x*1e6+0.5)/1e6 rounding per
     the engine-parity float convention."""
     toks = _tokens(text_col)
     n = F.size(toks)
     nd = F.size(F.array_distinct(toks))
+    # max token frequency == longest run in the sorted array; the fold
+    # carries (prev token, current run, best run). Tokens are length>=2, so
+    # the "" sentinel never matches a real token.
+    _run = lambda acc, t: F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
     top = F.aggregate(
-        F.array_distinct(toks),
-        F.lit(0),
-        lambda acc, t: F.greatest(
-            acc, F.size(F.filter(toks, lambda x: x == t))
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
         ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            _run(acc, t).alias("run"),
+            F.greatest(acc["best"], _run(acc, t)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     pair_len = F.greatest(n - 1, F.lit(0))
     g2 = F.zip_with(

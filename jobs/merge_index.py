@@ -31,7 +31,13 @@ from pyspark.sql import SparkSession
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True, help="merged index root")
-    ap.add_argument("--term-buckets", type=int, default=64)
+    ap.add_argument(
+        "--term-buckets", type=int, default=None,
+        help="defaults to the sources' recorded bucket count; a different "
+        "value is rejected (the copied postings stage keeps the sources' "
+        "term_bucket values, so re-bucketing only packed/term_stats would "
+        "leave long-table bucket pruning inconsistent with the layout)",
+    )
     ap.add_argument(
         "--assume-disjoint", action="store_true",
         help="skip the doc_map duplicate probe (monotonic doc_id guarantee)",
@@ -50,11 +56,35 @@ def main(argv=None) -> int:
         if ix.packed is None:
             raise SystemExit(f"{r}: no packed stage — rebuild with packing on")
 
+    # bucket-count validation (ADVICE r4): every stage must agree on the
+    # term_bucket layout. Sources record theirs in build_summary.json
+    # (jobs/build_index.py); absent a record, fall back to the on-disk
+    # max(term_bucket)+1 being <= the requested count is NOT enough — the
+    # only safe default is the recorded value itself.
+    recorded = set()
+    for r in args.roots:
+        sp = os.path.join(r, "build_summary.json")
+        if os.path.exists(sp):
+            with open(sp) as f:
+                tb = json.load(f).get("term_buckets")
+            if tb:
+                recorded.add(int(tb))
+    if len(recorded) > 1:
+        raise SystemExit(f"sources were built with different --term-buckets: {sorted(recorded)}")
+    src_buckets = recorded.pop() if recorded else 64
+    if args.term_buckets is not None and args.term_buckets != src_buckets:
+        raise SystemExit(
+            f"--term-buckets {args.term_buckets} != sources' bucket count "
+            f"{src_buckets}; re-bucketing a merge is not supported (the "
+            "postings stage is copied with its original term_bucket values)"
+        )
+    n_term_buckets = src_buckets
+
     t0 = time.time()
     merged = merge_packed_indexes(
         spark, indexes,
         check_disjoint=not args.assume_disjoint,
-        n_term_buckets=args.term_buckets,
+        n_term_buckets=n_term_buckets,
         # persist the merged packed table: the term_stats rollup below reads
         # the cache the packed write just filled instead of re-running the
         # merge shuffle per output stage
@@ -84,6 +114,7 @@ def main(argv=None) -> int:
         "total_tokens": merged.stats.total_tokens,
         "avgdl": merged.stats.avgdl,
         "doc_shard_size": merged.doc_shard_size,
+        "term_buckets": n_term_buckets,
         "merged_from": args.roots,
         "wall_sec": round(time.time() - t0, 2),
     }

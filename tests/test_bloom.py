@@ -35,6 +35,29 @@ def test_no_false_negatives_and_low_fp(spark):
     assert bloom.fp_rate() < 0.01
 
 
+def test_bulk_set_bits_matches_scalar_reference():
+    """The vectorized (numpy uint64, wrapping) builder sets exactly the bits
+    a pure-Python reference with the same wrapped double-hash would set, and
+    every inserted term probes positive through TermBloom.__contains__."""
+    import numpy as np
+
+    from awesome_spark_search.bloom import _U64, _bulk_set_bits, _term_hash_pair
+
+    m, k = 4099, 11  # non-power-of-two m exercises the wrap-before-mod rule
+    terms = [f"t{i}" for i in range(257)]
+    arr = np.zeros((m + 7) // 8, dtype=np.uint8)
+    _bulk_set_bits(arr, terms, m, k)
+    ref = np.zeros_like(arr)
+    for t in terms:
+        h1, h2 = _term_hash_pair(t)
+        for i in range(k):
+            pos = ((h1 + i * h2) & _U64) % m
+            ref[pos >> 3] |= np.uint8(1 << (pos & 7))
+    assert (arr == ref).all()
+    bloom = TermBloom(bits=arr, m=m, k=k, n_terms=len(terms))
+    assert all(t in bloom for t in terms)
+
+
 def test_chunked_build_matches_single_chunk(spark):
     """Force multi-chunk assembly (8-byte chunks) — identical bits to the
     default single-chunk build, proving the chunk_id OR-reduce + driver

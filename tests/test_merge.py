@@ -234,6 +234,46 @@ def test_fielded_merge_matches_rebuild(spark):
             assert abs(g["score"] - w["score"]) < 1e-9
 
 
+def test_fielded_merge_with_empty_field_source_matches_rebuild(spark):
+    """Degenerate case (ADVICE r4): one source's field is EMPTY everywhere.
+    build_fielded_packed floors that source's avgdl to 1.0 for scoring, but
+    the merge must combine the RAW (unfloored) means — averaging the floored
+    values would diverge from a full rebuild's avgdl, silently shifting
+    every merged score and block_max."""
+    from awesome_spark_search.fields import build_fielded_packed, fielded_wand_topk
+    from awesome_spark_search.merge import merge_fielded_packed
+
+    def _word(i):
+        return ["merge", "buffer", "sort", "alpha", "beta", "gamma"][i % 6]
+
+    rows = []
+    for d in range(30):
+        body = " ".join(_word(d + j) for j in range(2 + (d * 3) % 7))
+        # title empty for the even half — source A has an all-empty field
+        title = "" if d % 2 == 0 else " ".join(_word(d * 2 + j) for j in range(2))
+        rows.append((d, body, title))
+    df = spark.createDataFrame(rows, "doc_id long, body string, title string")
+    weights = {"body": 1.0, "title": 0.5}
+    kw = dict(do_stem=False, doc_shard_size=8)
+    full = build_fielded_packed(spark, df, weights, **kw)
+    fa = build_fielded_packed(spark, df.filter("doc_id % 2 = 0"), weights, **kw)
+    fb = build_fielded_packed(spark, df.filter("doc_id % 2 = 1"), weights, **kw)
+    assert fa.avgdl_raw_by_field["title"] == 0.0  # the degenerate source
+    assert fa.avgdl_by_field["title"] == 1.0      # scoring floor intact
+    merged = merge_fielded_packed(spark, [fa, fb])
+    for f in weights:
+        assert abs(merged.avgdl_by_field[f] - full.avgdl_by_field[f]) < 1e-9, f
+        assert abs(
+            merged.avgdl_raw_by_field[f] - full.avgdl_raw_by_field[f]
+        ) < 1e-9, f
+    for terms in (["merge"], ["merge", "gamma"]):
+        got = fielded_wand_topk(spark, merged, terms, k=10).collect()
+        want = fielded_wand_topk(spark, full, terms, k=10).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], terms
+        for g, w in zip(got, want):
+            assert abs(g["score"] - w["score"]) < 1e-9
+
+
 def test_three_way_merge(spark):
     pdf = corpus.generate_pandas(90, seed=11)
     src = spark.createDataFrame(pdf)
