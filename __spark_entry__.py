@@ -262,9 +262,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _executor(spark, sf)
         )
     )
+    # QL/JM serves off the PACKED index too (wand.ql_topk: per-shard decode,
+    # dl from dls_vb, broadcast cf — no long-table scan at query time)
     q["ql_jm_keyword"] = lambda spark, sf: (
         (lambda ex: QueryExecutor(
-            spark, ex.index, source_df=ex.source_df, scorer="ql"
+            spark, ex.index, source_df=ex.source_df, scorer="ql",
+            use_packed=True,
         ).search("merge value", k=10)
          .select("doc_id", F.round(F.col("score"), 4).alias("score")))(
             _executor(spark, sf)

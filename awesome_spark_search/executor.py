@@ -419,6 +419,19 @@ class QueryExecutor:
                     self.spark, self.fielded_index, exact + expanded, k=k,
                     n_term_buckets=self.n_buckets,
                 ).collect()
+        if self.use_packed and self.scorer == "ql":
+            # QL/JM keyword queries serve off the packed index too (VERDICT
+            # r4 #8): dl rides in dls_vb, cf arrives broadcast like idf
+            from . import wand as _wand
+
+            if pq.prf == 0 and isinstance(pq.ast, Q.Keyword):
+                exact, prefixes, _ = self.resolve_terms(pq.ast.terms)
+                expanded = self._expand_prefixes(prefixes)
+                if expanded is not None:
+                    return _wand.ql_topk(
+                        self.spark, self.index, exact + expanded, k=k,
+                        n_term_buckets=self.n_buckets,
+                    ).collect()
         if self.use_packed and self.scorer == "bm25":
             from . import wand as _wand
 

@@ -301,6 +301,78 @@ def wand_topk(
     return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
+def _ql_shard_factory(lam: float, total_tokens: int, k: int):
+    """applyInPandas: packed rows of one doc_shard -> local QL/JM top-k.
+    No block skipping: QL contributions are negative log-mixtures, so there
+    is no admission bound like BM25's idf*block_max — the pass is a full
+    decode of the (bucket-pruned) query terms' lists, still one bounded
+    shard per Python invocation."""
+    C = float(max(total_tokens, 1))
+
+    def shard_ql(left: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return _local_topk(np.zeros(0, np.int64), np.zeros(0, np.float64), k)
+        cand_ids = np.zeros(0, dtype=np.int64)
+        cand_scores = np.zeros(0, dtype=np.float64)
+        for _, r in left.iterrows():
+            ids = codec.delta_vbyte_decode_blocked(bytes(r["doc_ids_vb"]))
+            tfs = codec.vbyte_decode(bytes(r["tfs_vb"])).astype(np.float64)
+            dls = codec.vbyte_decode(bytes(r["dls_vb"])).astype(np.float64)
+            DECODE_STATS["postings"] += ids.size
+            contrib = np.log(
+                (1.0 - lam) * tfs / np.maximum(dls, 1.0)
+                + lam * float(r["cf_global"]) / C
+            )
+            cand_ids, cand_scores = _merge_scores(
+                cand_ids, cand_scores, ids, contrib
+            )
+        return _local_topk(cand_ids, cand_scores, k)
+
+    return shard_ql
+
+
+def ql_topk(
+    spark: SparkSession,
+    index: Index,
+    terms: list[str],
+    k: int = 10,
+    n_term_buckets: int = 64,
+    lam: float | None = None,
+) -> DataFrame:
+    """Query-likelihood / Jelinek-Mercer top-k entirely off the packed index
+    (ref scorer: src/querying/ranking/DocumentRanker.java:33, 138-167 —
+    score(d) = sum_t log((1-l)*tf/dl + l*cf/C)). ONE Spark action, identical
+    shape to ``wand_topk``: bucket-pruned packed scan, broadcast-joined cf
+    column, per-shard decode (dl rides in dls_vb, so no doc_map join), tiny
+    global top-k. Rank+score identical to ``scoring.ql_jm_score`` over the
+    long table — sum over MATCHED terms only, dl floored at 1."""
+    from .scoring import JM_LAMBDA
+
+    assert index.packed is not None, "index built without packed postings"
+    if not terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    if lam is None:
+        lam = JM_LAMBDA
+    st = index.stats
+    buckets = sorted({_py_term_bucket(t, n_term_buckets) for t in terms})
+    # aliased: packed group rows already carry a per-(term, doc_shard) cf;
+    # the JM background model needs the term's GLOBAL collection frequency
+    ts = (
+        index.term_stats.filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .select("term", F.col("cf").alias("cf_global"))
+    )
+    packed = (
+        index.packed.filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .join(F.broadcast(ts), "term")
+    )
+    local = packed.groupBy("doc_shard").applyInPandas(
+        _ql_shard_factory(lam, st.total_tokens, k), RESULT_SCHEMA
+    )
+    return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
 def mixed_topk(
     spark: SparkSession,
     index: Index,

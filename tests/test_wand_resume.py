@@ -114,15 +114,34 @@ def test_packed_mixed_and_prf_match_dataframe_path(
         assert abs(g["score"] - w["score"]) < 1e-9, query
 
 
+@pytest.mark.parametrize("query", ["buffer", "buffer merge scan", "token*"])
+def test_packed_ql_matches_dataframe_path(spark, packed_index, query):
+    """The QL/JM scorer must rank+score identically off the packed index
+    (wand.ql_topk: per-shard decode, dl from dls_vb, broadcast cf) as off
+    the long postings table (scoring.ql_jm_score)."""
+    packed_index.doc_shard_size = 64
+    df_ex = QueryExecutor(spark, packed_index, scorer="ql")
+    pk_ex = QueryExecutor(spark, packed_index, scorer="ql", use_packed=True)
+    want = df_ex.search(query, k=10).collect()
+    got = pk_ex.search(query, k=10).collect()
+    assert len(want) > 0
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want], query
+    for g, w in zip(got, want):
+        assert abs(g["score"] - w["score"]) < 1e-9, query
+
+
+@pytest.mark.parametrize("scorer", ["bm25", "ql"])
 def test_packed_serving_never_scans_long_postings(
-    spark, packed_index, packed_src, monkeypatch
+    spark, packed_index, packed_src, monkeypatch, scorer
 ):
     """In packed serving mode (the cache_postings=False deployment) NO query
     type may touch the long postings table — keyword, phrase, boolean, mixed,
-    and PRF all dispatch to the packed plans."""
+    and PRF all dispatch to the packed plans, under BOTH scorers for the
+    query types each scorer serves."""
     packed_index.doc_shard_size = 64
     ex = QueryExecutor(
-        spark, packed_index, source_df=packed_src, use_packed=True
+        spark, packed_index, source_df=packed_src, use_packed=True,
+        scorer=scorer,
     )
 
     def boom(*a, **k):
@@ -130,14 +149,15 @@ def test_packed_serving_never_scans_long_postings(
 
     monkeypatch.setattr(ex, "_postings_for_terms", boom)
     monkeypatch.setattr(ex, "_postings_for_prefix", boom)
-    for query in [
-        "buffer merge scan",
-        '"merge sort"',
-        "buffer AND merge",
-        "token*",
-        '"merge sort" buffer',
-        "buffer merge #3",
-    ]:
+    queries = ["buffer merge scan", "token*"]
+    if scorer == "bm25":
+        queries += [
+            '"merge sort"',
+            "buffer AND merge",
+            '"merge sort" buffer',
+            "buffer merge #3",
+        ]
+    for query in queries:
         ex.search(query, k=5).collect()
 
 
