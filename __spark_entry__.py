@@ -278,6 +278,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # avgdl override + w_f folded into idf inside block-max WAND) — must
     # reproduce the identical long-table oracle
     q["fielded_bm25_packed"] = lambda spark, sf: _fielded_bm25_packed(spark, sf)
+    # zone weights reach EVERY ranked query type (ref DocumentRanker.java:
+    # 138-167 weights phrase/Mixed results by ContentType exactly like
+    # keyword): these run the FULL search() pipeline on a fielded executor —
+    # parse -> per-field phrase adjacency -> zone-weighted scoring off the
+    # packed fielded index (fields.fielded_phrase_topk / fielded_mixed_topk)
+    q["fielded_phrase"] = lambda spark, sf: (
+        _fielded_executor(spark, sf).search('"table value"', k=10)
+        .select("doc_id", F.round(F.col("score"), 4).alias("score"))
+    )
+    q["fielded_mixed"] = lambda spark, sf: (
+        _fielded_executor(spark, sf).search('"table value" merge', k=10)
+        .select("doc_id", F.round(F.col("score"), 4).alias("score"))
+    )
     q["doc_metadata_topk"] = lambda spark, sf: (
         (lambda ex: ex.search("merge batch table", k=10)
          .join(ex.index.doc_map.select("doc_id", "repo", "path", "lang"), "doc_id")
@@ -519,6 +532,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _FIELD_WEIGHTS = {"text": 1.0, "source": 0.5}
 _FIELD_TERMS = ["merge", "batch", "src"]
 
+_FIELDED_EX: dict[str, QueryExecutor] = {}
+
+
+def _fielded_executor(spark, sf) -> QueryExecutor:
+    """One fielded packed index per sf per process (text w=1.0, source
+    w=0.5), wrapped in a QueryExecutor with ``fielded_index`` set: EVERY
+    ranked query type — keyword, phrase, Mixed, PRF — then ranks
+    zone-weighted end-to-end, mirroring the reference's always-zoned
+    DocumentRanker (ref: DocumentRanker.java:138-167)."""
+    from awesome_spark_search.fields import build_fielded_packed
+
+    key = sf.rstrip("/")
+    if key not in _FIELDED_EX:
+        ex = _executor(spark, key)
+        docs = _docs(spark, key).select("doc_id", "text", "source")
+        fidx = build_fielded_packed(spark, docs, _FIELD_WEIGHTS, do_stem=False)
+        _FIELDED_EX[key] = QueryExecutor(
+            spark, ex.index, source_df=ex.source_df, use_packed=True,
+            fielded_index=fidx,
+        )
+    return _FIELDED_EX[key]
+
 
 def _fielded_bm25(spark, sf) -> DataFrame:
     """Field/zone-weighted BM25 (reference ContentType weights analog) over
@@ -541,10 +576,9 @@ def _fielded_bm25_packed(spark, sf) -> DataFrame:
     into the broadcast idf, and the per-shard WAND loop merge-adds the zone
     contributions — rank+score identical to the long-table plan, so it
     shares fielded_bm25's oracle verbatim."""
-    from awesome_spark_search.fields import build_fielded_packed, fielded_wand_topk
+    from awesome_spark_search.fields import fielded_wand_topk
 
-    docs = _docs(spark, sf).select("doc_id", "text", "source")
-    fidx = build_fielded_packed(spark, docs, _FIELD_WEIGHTS, do_stem=False)
+    fidx = _fielded_executor(spark, sf).fielded_index
     return fielded_wand_topk(spark, fidx, _FIELD_TERMS, k=10).select(
         "doc_id", F.round(F.col("score"), 4).alias("score")
     )
@@ -794,8 +828,10 @@ SELECT doc_id, (i - 1)::INT AS pos
 FROM toks, unnest(range(1, len(all_toks) + 1)) AS t(i)
 WHERE all_toks[i] = 'merge'
 """
-    o["fielded_bm25"] = f"""
-WITH ftoks AS (
+    # shared fielded tokenization CTE (text w=1.0, source w=0.5) — reused by
+    # every fielded oracle; per-query CTEs (fdf, phrase restriction, scored)
+    # compose on top
+    fielded_cte = f"""ftoks AS (
   SELECT doc_id, 'text' AS field,
          list_filter(regexp_extract_all(lower(text), '[a-zA-Z-_]+'),
                      t -> length(t) >= 2) AS all_toks
@@ -814,30 +850,80 @@ fterms AS (
 ftf AS (SELECT doc_id, field, term, count(*)::BIGINT AS tf FROM fterms GROUP BY 1, 2, 3),
 fdl AS (SELECT doc_id, field, len(all_toks)::BIGINT AS doc_len FROM ftoks),
 favg AS (SELECT field, avg(doc_len) AS avgdl FROM fdl GROUP BY 1),
-fn AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
-fdf AS (
-  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM ftf
-  WHERE term IN ('merge', 'batch', 'src') GROUP BY 1
-),
+fn AS (SELECT count(*)::BIGINT AS n_docs FROM documents)"""
+    # zone-weighted BM25 rollup over a `matched`(doc_id, field, term, tf)
+    # CTE; fdf (global df: docs holding the term in ANY field) composes per
+    # query
+    _fielded_score = """
 scored AS (
   SELECT m.doc_id,
          sum((CASE m.field WHEN 'text' THEN 1.0 ELSE 0.5 END)
              * ln((n.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
              * m.tf / (m.tf + 1.2 * (0.25 + 0.75 * l.doc_len / a.avgdl))) AS raw
-  FROM ftf m
+  FROM matched m
   JOIN fdf d USING (term)
   JOIN fdl l ON l.doc_id = m.doc_id AND l.field = m.field
   JOIN favg a ON a.field = m.field
   CROSS JOIN fn n
-  WHERE m.term IN ('merge', 'batch', 'src')
   GROUP BY m.doc_id
 )
 SELECT doc_id, round(raw, 4) AS score
-FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 10
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 10"""
+
+    def _fdf(terms: list[str]) -> str:
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        return f"""fdf AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM ftf
+  WHERE term IN ({in_list}) GROUP BY 1
+)"""
+
+    o["fielded_bm25"] = f"""
+WITH {fielded_cte},
+{_fdf(_FIELD_TERMS)},
+matched AS (
+  SELECT doc_id, field, term, tf FROM ftf
+  WHERE term IN ('merge', 'batch', 'src')
+),
+{_fielded_score}
 """
     # the packed fielded entry must reproduce the long-table plan exactly —
     # one oracle, two engines' worth of evidence
     o["fielded_bm25_packed"] = o["fielded_bm25"]
+    # fielded PHRASE: the phrase must occur within a single zone (positions
+    # never chain across field boundaries) and only phrase-holding
+    # (doc, field) pairs contribute — the per-field analog of phrase_bm25
+    fphrase_cte = """fphrase AS (
+  SELECT doc_id, field FROM ftoks
+  WHERE len(list_filter(range(1, len(all_toks)),
+        i -> all_toks[i] = 'table' AND all_toks[i+1] = 'value')) > 0
+)"""
+    o["fielded_phrase"] = f"""
+WITH {fielded_cte},
+{fphrase_cte},
+{_fdf(["table", "value"])},
+matched AS (
+  SELECT m.doc_id, m.field, m.term, m.tf FROM ftf m
+  JOIN fphrase p ON p.doc_id = m.doc_id AND p.field = m.field
+  WHERE m.term IN ('table', 'value')
+),
+{_fielded_score}
+"""
+    # fielded MIXED: phrase part restricted to phrase-holding (doc, field)
+    # pairs UNION ALL the keyword term over every field (a doc holding both
+    # sums both contributions, like the unfielded mixed plan)
+    o["fielded_mixed"] = f"""
+WITH {fielded_cte},
+{fphrase_cte},
+{_fdf(["table", "value", "merge"])},
+matched AS (
+  SELECT m.doc_id, m.field, m.term, m.tf FROM ftf m
+  JOIN fphrase p ON p.doc_id = m.doc_id AND p.field = m.field
+  WHERE m.term IN ('table', 'value')
+  UNION ALL
+  SELECT doc_id, field, term, tf FROM ftf WHERE term = 'merge'
+),
+{_fielded_score}
+"""
     o["doc_metadata_topk"] = f"""
 WITH {_TOK_CTE},
 qt AS ({_const_terms(["merge", "batch", "table"])}),

@@ -400,25 +400,54 @@ class QueryExecutor:
         return self._localize(rows)
 
     def _run_once(self, pq: Q.ParsedQuery, k: int) -> list:
-        if (
-            self.fielded_index is not None
-            and self.scorer == "bm25"
-            and pq.prf == 0
-            and isinstance(pq.ast, Q.Keyword)
-        ):
-            from .fields import fielded_wand_topk
+        if self.fielded_index is not None and self.scorer == "bm25":
+            # EVERY ranked query type gets zone weights — the reference's
+            # DocumentRanker.weightDocument iterates ContentType for
+            # keyword, phrase, Mixed, and PRF results alike
+            # (ref: DocumentRanker.java:138-167, ContentType.java:6-9).
+            # Boolean/LinkTo are unranked (recency-ordered, score NULL), so
+            # they fall through to the plain doc-set plans by design.
+            from .fields import (
+                fielded_mixed_topk,
+                fielded_phrase_topk,
+                fielded_wand_topk,
+            )
 
-            exact, prefixes, _ = self.resolve_terms(pq.ast.terms)
-            expanded = self._expand_prefixes(prefixes)
-            # expanded is None only for a prefix query past the vocab cache
-            # (no dictionary to expand against): the query then falls
-            # through to the plain packed/long-table plan, i.e. UNFIELDED
-            # ranking — zone weights need enumerable prefix expansions
-            if expanded is not None:
-                return fielded_wand_topk(
-                    self.spark, self.fielded_index, exact + expanded, k=k,
+            if isinstance(pq.ast, Q.Keyword):
+                if pq.prf > 0:
+                    rows = self._fielded_prf(pq, k)
+                    if rows is not None:
+                        return rows
+                else:
+                    exact, prefixes, _ = self.resolve_terms(pq.ast.terms)
+                    expanded = self._expand_prefixes(prefixes)
+                    # expanded is None only for a prefix query past the
+                    # vocab cache (no dictionary to expand against): the
+                    # query then falls through to the plain packed/
+                    # long-table plan, i.e. UNFIELDED ranking — zone
+                    # weights need enumerable prefix expansions
+                    if expanded is not None:
+                        return fielded_wand_topk(
+                            self.spark, self.fielded_index, exact + expanded,
+                            k=k, n_term_buckets=self.n_buckets,
+                        ).collect()
+            if pq.prf == 0 and isinstance(pq.ast, Q.Phrase):
+                terms, _, _ = self.resolve_terms(pq.ast.terms, dedupe=False)
+                return fielded_phrase_topk(
+                    self.spark, self.fielded_index, terms, k=k,
                     n_term_buckets=self.n_buckets,
                 ).collect()
+            if pq.prf == 0 and isinstance(pq.ast, Q.Mixed):
+                ph_terms, _, _ = self.resolve_terms(
+                    pq.ast.phrase.terms, dedupe=False
+                )
+                exact, prefixes, _ = self.resolve_terms(pq.ast.keyword.terms)
+                expanded = self._expand_prefixes(prefixes)
+                if ph_terms and expanded is not None:
+                    return fielded_mixed_topk(
+                        self.spark, self.fielded_index, ph_terms,
+                        exact + expanded, k=k, n_term_buckets=self.n_buckets,
+                    ).collect()
         if self.use_packed and self.scorer == "ql":
             # QL/JM keyword queries serve off the packed index too (VERDICT
             # r4 #8): dl rides in dls_vb, cf arrives broadcast like idf
@@ -534,6 +563,43 @@ class QueryExecutor:
         return _wand.wand_topk(
             self.spark, self.index, all_terms, k=k,
             n_term_buckets=self.n_buckets, weights=weights,
+        ).collect()
+
+    def _fielded_prf(self, pq: Q.ParsedQuery, k: int) -> list | None:
+        """Two-pass PRF with zone weights on BOTH passes (the reference
+        weights PRF results by ContentType like any other ranked result —
+        DocumentRanker.java:138-167): pass 1 is fielded block-max WAND,
+        expansion terms come from the generated snippets (shared driver-side
+        machinery), pass 2 folds the 0.25 expansion weight into the
+        broadcast idf ON TOP of w_f. Returns None when a prefix can't be
+        dictionary-expanded (caller falls back to unfielded plans)."""
+        from .fields import fielded_wand_topk
+
+        exact, prefixes, _ = self.resolve_terms(pq.ast.terms)
+        expanded = self._expand_prefixes(prefixes)
+        if expanded is None:
+            return None
+        base = exact + expanded
+        top = fielded_wand_topk(
+            self.spark, self.fielded_index, base, k=k,
+            n_term_buckets=self.n_buckets,
+        ).collect()
+        prf_terms = self._prf_terms(pq, top, pq.prf)
+        if not prf_terms:
+            return top
+        pq.prf_terms = prf_terms
+        # same weight convention as _packed_prf: an expansion term that
+        # coincides with a base term scores at 1.0 + 0.25 (the long-table
+        # plan unions both posting sets)
+        base_set = set(base)
+        weights = {
+            t: (1.0 + scoring.PRF_WEIGHT) if t in base_set else scoring.PRF_WEIGHT
+            for t in prf_terms
+        }
+        all_terms = base + [t for t in prf_terms if t not in base_set]
+        return fielded_wand_topk(
+            self.spark, self.fielded_index, all_terms, k=k,
+            n_term_buckets=self.n_buckets, term_weights=weights,
         ).collect()
 
     def _expand_prefixes(self, prefixes: list[str]) -> list[str] | None:

@@ -100,16 +100,20 @@ def build_fielded_postings(
     return postings, field_lens, term_stats
 
 
-def fielded_bm25_topk(
-    spark: SparkSession,
-    postings: DataFrame,
+def _score_fielded_matches(
+    matched: DataFrame,
     field_lens: DataFrame,
     term_stats: DataFrame,
     field_weights: dict[str, float],
     terms: list[str],
-    k: int = 10,
+    k: int,
+    term_weights: dict[str, float] | None = None,
 ) -> DataFrame:
-    """Weighted-per-field BM25 top-k: (doc_id, score)."""
+    """Shared zone-weighted BM25 rollup: ``matched`` is (field, doc_id,
+    term, tf) — already restricted to whatever doc/field set the query type
+    admits (all matches for keyword; phrase-surviving (doc, field) pairs for
+    the phrase part of phrase/Mixed). ``term_weights`` scales per-term
+    contributions (PRF expansion at 0.25) on top of the zone weight."""
     stats = field_lens.groupBy("field").agg(
         F.avg("doc_len").alias("avgdl")
     )
@@ -118,8 +122,7 @@ def fielded_bm25_topk(
         *[x for f, w in sorted(field_weights.items()) for x in (F.lit(f), F.lit(float(w)))]
     )
     matched = (
-        postings.filter(F.col("term").isin(terms))
-        .select("field", "doc_id", "term", "tf")
+        matched
         .join(F.broadcast(term_stats.filter(F.col("term").isin(terms)).select("term", "df")), "term")
         .join(field_lens, ["doc_id", "field"])
         .join(F.broadcast(stats), "field")
@@ -129,11 +132,120 @@ def fielded_bm25_topk(
         + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("doc_len") / F.col("avgdl"))
     )
     contrib = w_map[F.col("field")] * idf_col(F.col("df"), n_docs) * tfnorm
+    if term_weights:
+        tw_map = F.create_map(
+            *[F.lit(x) for t, w in term_weights.items() for x in (t, float(w))]
+        )
+        contrib = contrib * F.coalesce(tw_map[F.col("term")], F.lit(1.0))
     return (
         matched.groupBy("doc_id")
         .agg(F.sum(contrib).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
+    )
+
+
+def fielded_bm25_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    field_lens: DataFrame,
+    term_stats: DataFrame,
+    field_weights: dict[str, float],
+    terms: list[str],
+    k: int = 10,
+    term_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Weighted-per-field BM25 top-k: (doc_id, score)."""
+    matched = postings.filter(F.col("term").isin(terms)).select(
+        "field", "doc_id", "term", "tf"
+    )
+    return _score_fielded_matches(
+        matched, field_lens, term_stats, field_weights, terms, k, term_weights
+    )
+
+
+def _fielded_phrase_pairs(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc_id, field) pairs where the exact phrase occurs WITHIN that field
+    (positions never chain across zone boundaries — each field tokenizes
+    independently). Same adjacency algebra as the unfielded DataFrame plan
+    (executor._phrase_matches), keyed on (doc_id, field)."""
+    base = (
+        postings.filter(F.col("term") == terms[0])
+        .select("doc_id", "field", F.col("positions").alias("_cur"))
+    )
+    for t in terms[1:]:
+        nxt = postings.filter(F.col("term") == t).select(
+            "doc_id", "field", F.col("positions").alias("_next")
+        )
+        base = (
+            base.join(nxt, ["doc_id", "field"])
+            .withColumn(
+                "_cur",
+                F.array_intersect(
+                    F.transform(F.col("_cur"), lambda x: x + 1), F.col("_next")
+                ),
+            )
+            .filter(F.size("_cur") > 0)
+            .drop("_next")
+        )
+    return base.select("doc_id", "field")
+
+
+def fielded_phrase_bm25_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    field_lens: DataFrame,
+    term_stats: DataFrame,
+    field_weights: dict[str, float],
+    terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Long-table zone-weighted PHRASE top-k (the DataFrame reference plan
+    for ``fielded_phrase_topk``): a doc scores w_f * sum_t idf*tfnorm_f for
+    every field f where the phrase occurs — the reference weights phrase
+    results by ContentType exactly like keyword results
+    (ref: DocumentRanker.java:138-167)."""
+    distinct_terms = list(dict.fromkeys(terms))
+    pairs = _fielded_phrase_pairs(postings, terms)
+    matched = (
+        postings.filter(F.col("term").isin(distinct_terms))
+        .select("field", "doc_id", "term", "tf")
+        .join(pairs, ["doc_id", "field"], "left_semi")
+    )
+    return _score_fielded_matches(
+        matched, field_lens, term_stats, field_weights, distinct_terms, k
+    )
+
+
+def fielded_mixed_bm25_topk(
+    spark: SparkSession,
+    postings: DataFrame,
+    field_lens: DataFrame,
+    term_stats: DataFrame,
+    field_weights: dict[str, float],
+    phrase_terms: list[str],
+    keyword_terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Long-table zone-weighted MIXED top-k (reference plan for
+    ``fielded_mixed_topk``): phrase-part postings restricted to the
+    (doc, field) pairs holding the phrase, unioned with the keyword terms'
+    postings over every field — the same union-then-score shape as the
+    unfielded Mixed plan, zone weights applied to both parts."""
+    ph_distinct = list(dict.fromkeys(phrase_terms))
+    kw_distinct = list(dict.fromkeys(keyword_terms))
+    pairs = _fielded_phrase_pairs(postings, phrase_terms)
+    ph = (
+        postings.filter(F.col("term").isin(ph_distinct))
+        .select("field", "doc_id", "term", "tf")
+        .join(pairs, ["doc_id", "field"], "left_semi")
+    )
+    kw = postings.filter(F.col("term").isin(kw_distinct)).select(
+        "field", "doc_id", "term", "tf"
+    )
+    return _score_fielded_matches(
+        ph.unionByName(kw), field_lens, term_stats, field_weights,
+        list(dict.fromkeys(ph_distinct + kw_distinct)), k,
     )
 
 
@@ -264,27 +376,19 @@ def build_fielded_packed(
     )
 
 
-def fielded_wand_topk(
-    spark: SparkSession,
+def _fielded_rows_with_idf(
     fidx: FieldedPackedIndex,
     terms: list[str],
-    k: int = 10,
-    n_term_buckets: int = DEFAULT_TERM_BUCKETS,
+    n_term_buckets: int,
+    term_weights: dict[str, float] | None = None,
 ) -> DataFrame:
-    """Zone-weighted BM25 top-k entirely off the packed fielded index — ONE
-    Spark action, rank+score identical to ``fielded_bm25_topk`` (pinned by
-    tests/test_fields.py): each (field, term) list enters the block-max WAND
-    loop as an independent list whose broadcast idf column arrives
-    pre-multiplied by w_f and whose per-row ``avgdl`` column overrides the
-    dl normalizer inside ``wand._wand_pass``. Skipping stays exact because
-    each list's block_max was packed against the same avgdl. Bucket-pruned
-    scan + broadcast join + per-shard applyInPandas + tiny global top-k —
-    the same 100 TB shape as ``wand.wand_topk``."""
-    from . import wand as _wand
+    """Bucket-pruned packed fielded rows of ``terms``: idf arrives
+    broadcast-joined and pre-multiplied by w_f (and the optional per-term
+    weight — PRF expansion at 0.25), ``avgdl`` is the row's FIELD's avgdl
+    (overrides ``wand._wand_pass``'s scalar). Shared by every fielded packed
+    query type."""
     from .build import _py_term_bucket
 
-    if not terms:
-        return spark.createDataFrame([], _wand.RESULT_SCHEMA)
     buckets = sorted({_py_term_bucket(t, n_term_buckets) for t in terms})
     ts = (
         fidx.term_stats.filter(F.col("term_bucket").isin(buckets))
@@ -292,6 +396,13 @@ def fielded_wand_topk(
         .withColumn("idf", idf_col(F.col("df"), fidx.n_docs))
         .select("term", "idf")
     )
+    if term_weights:
+        tw = F.create_map(
+            *[F.lit(x) for t, w in term_weights.items() for x in (t, float(w))]
+        )
+        ts = ts.withColumn(
+            "idf", F.col("idf") * F.coalesce(tw[F.col("term")], F.lit(1.0))
+        )
     wmap = F.create_map(
         *[F.lit(x) for f, w in sorted(fidx.field_weights.items())
           for x in (f, float(w))]
@@ -300,14 +411,164 @@ def fielded_wand_topk(
         *[F.lit(x) for f, a in sorted(fidx.avgdl_by_field.items())
           for x in (f, float(a))]
     )
-    packed = (
+    return (
         fidx.packed.filter(F.col("term_bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
         .join(F.broadcast(ts), "term")
         .withColumn("idf", F.col("idf") * wmap[F.col("field")])
         .withColumn("avgdl", amap[F.col("field")])
     )
+
+
+def fielded_wand_topk(
+    spark: SparkSession,
+    fidx: FieldedPackedIndex,
+    terms: list[str],
+    k: int = 10,
+    n_term_buckets: int = DEFAULT_TERM_BUCKETS,
+    term_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Zone-weighted BM25 top-k entirely off the packed fielded index — ONE
+    Spark action, rank+score identical to ``fielded_bm25_topk`` (pinned by
+    tests/test_fields.py): each (field, term) list enters the block-max WAND
+    loop as an independent list whose broadcast idf column arrives
+    pre-multiplied by w_f (and the optional per-term ``term_weights`` —
+    fielded PRF pass 2 down-weights expansion terms this way) and whose
+    per-row ``avgdl`` column overrides the dl normalizer inside
+    ``wand._wand_pass``. Skipping stays exact because each list's block_max
+    was packed against the same avgdl. Bucket-pruned scan + broadcast join +
+    per-shard applyInPandas + tiny global top-k — the same 100 TB shape as
+    ``wand.wand_topk``."""
+    from . import wand as _wand
+
+    if not terms:
+        return spark.createDataFrame([], _wand.RESULT_SCHEMA)
+    packed = _fielded_rows_with_idf(fidx, terms, n_term_buckets, term_weights)
     local = packed.groupBy("doc_shard").applyInPandas(
         _wand._shard_topk_factory(1.0, k), _wand.RESULT_SCHEMA
+    )
+    return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def _fielded_phrase_eval(left, phrase_terms: list[str], avgdl_by_field):
+    """Per-shard fielded phrase evaluation: run ``wand._phrase_eval`` once
+    per FIELD present in the shard (the phrase must occur within a single
+    zone — positions never chain across zone boundaries) and merge-add the
+    per-field survivor scores. Each field's rows carry w_f-folded idf, and
+    the eval normalizes dl against that FIELD's avgdl, so the merged vector
+    is exactly sum_f w_f * sum_t idf*tfnorm_f over phrase-holding zones."""
+    import numpy as np
+
+    from . import wand as _wand
+
+    cand_ids = np.zeros(0, dtype=np.int64)
+    cand_scores = np.zeros(0, dtype=np.float64)
+    for f, grp in left.groupby("field", sort=True):
+        rows = {r["term"]: r for _, r in grp.iterrows()}
+        surv, sc = _wand._phrase_eval(
+            rows, phrase_terms, float(avgdl_by_field[f])
+        )
+        cand_ids, cand_scores = _wand._merge_scores(
+            cand_ids, cand_scores, surv, sc
+        )
+    return cand_ids, cand_scores
+
+
+def _fielded_phrase_shard_factory(terms: list[str], avgdl_by_field, k: int):
+    from . import wand as _wand
+
+    def shard_phrase(left: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return _wand._local_topk(
+                np.zeros(0, np.int64), np.zeros(0, np.float64), k
+            )
+        cand_ids, cand_scores = _fielded_phrase_eval(left, terms, avgdl_by_field)
+        return _wand._local_topk(cand_ids, cand_scores, k)
+
+    return shard_phrase
+
+
+def fielded_phrase_topk(
+    spark: SparkSession,
+    fidx: FieldedPackedIndex,
+    terms: list[str],
+    k: int = 10,
+    n_term_buckets: int = DEFAULT_TERM_BUCKETS,
+) -> DataFrame:
+    """Zone-weighted exact-phrase top-k off the packed fielded index (ONE
+    Spark action): the reference weights phrase results by ContentType
+    exactly like keyword results (ref: DocumentRanker.java:138-167) — a doc
+    scores w_f * sum_t idf*tfnorm_f for every zone f where the phrase
+    occurs. Rank+score identical to ``fielded_phrase_bm25_topk`` (pinned by
+    tests/test_fields.py)."""
+    from . import wand as _wand
+
+    if not terms:
+        return spark.createDataFrame([], _wand.RESULT_SCHEMA)
+    distinct_terms = list(dict.fromkeys(terms))
+    packed = _fielded_rows_with_idf(fidx, distinct_terms, n_term_buckets)
+    local = packed.groupBy("doc_shard").applyInPandas(
+        _fielded_phrase_shard_factory(terms, dict(fidx.avgdl_by_field), k),
+        _wand.RESULT_SCHEMA,
+    )
+    return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def _fielded_mixed_shard_factory(
+    phrase_terms: list[str], keyword_terms: list[str], avgdl_by_field, k: int
+):
+    from . import wand as _wand
+
+    kw_distinct = set(dict.fromkeys(keyword_terms))
+
+    def shard_mixed(left: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return _wand._local_topk(
+                np.zeros(0, np.int64), np.zeros(0, np.float64), k
+            )
+        cand_ids, cand_scores = _fielded_phrase_eval(
+            left, phrase_terms, avgdl_by_field
+        )
+        kw_rows = [
+            (float(r["idf"]), np.asarray(r["block_max"], dtype=np.float64), r)
+            for _, r in left.iterrows()
+            if r["term"] in kw_distinct
+        ]
+        if kw_rows:
+            # avgdl arg is unused: every fielded row carries its own avgdl
+            # column, which _wand_pass prefers over the scalar
+            cand_ids, cand_scores = _wand._wand_pass(
+                kw_rows, 1.0, k, cand_ids, cand_scores
+            )
+        return _wand._local_topk(cand_ids, cand_scores, k)
+
+    return shard_mixed
+
+
+def fielded_mixed_topk(
+    spark: SparkSession,
+    fidx: FieldedPackedIndex,
+    phrase_terms: list[str],
+    keyword_terms: list[str],
+    k: int = 10,
+    n_term_buckets: int = DEFAULT_TERM_BUCKETS,
+) -> DataFrame:
+    """Zone-weighted Mixed top-k off the packed fielded index (ONE Spark
+    action): per-field phrase survivors seed the candidate vector with their
+    zone-weighted phrase-term mass, then every (field, keyword-term) list
+    enters the block-max WAND loop as an independent list (w_f-folded idf,
+    per-row avgdl). A term in both lists double-counts for survivors exactly
+    like the unioned long-table plan (``fielded_mixed_bm25_topk``)."""
+    from . import wand as _wand
+
+    if not phrase_terms and not keyword_terms:
+        return spark.createDataFrame([], _wand.RESULT_SCHEMA)
+    all_terms = list(dict.fromkeys([*phrase_terms, *keyword_terms]))
+    packed = _fielded_rows_with_idf(fidx, all_terms, n_term_buckets)
+    local = packed.groupBy("doc_shard").applyInPandas(
+        _fielded_mixed_shard_factory(
+            phrase_terms, keyword_terms, dict(fidx.avgdl_by_field), k
+        ),
+        _wand.RESULT_SCHEMA,
     )
     return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
