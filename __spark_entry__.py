@@ -393,6 +393,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=10, nprobe=2,
         ).select("vec_id", F.round("cosine", 4).alias("cosine"))
     )
+    # k-means centroid TRAINING for the IVF build (VERDICT r4 #3): 3
+    # deterministic Lloyd iterations (init = 8 lowest-id vectors, cosine
+    # assignment with lowest-id tie-break, centroids re-quantized to the
+    # 1e-6 grid after every update so both engines iterate from
+    # bit-identical values); output = assignments under the final centroids
+    q["kmeans_centroids"] = lambda spark, sf: (
+        _similarity.kmeans_fit(spark, _emb(spark, sf), k=8, iterations=3)[1]
+        .select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+    )
 
     # --- deterministic sampling (training-data pipeline ops) ---
     q["train_test_split"] = lambda spark, sf: (
@@ -1241,6 +1250,48 @@ FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id CROSS JOIN q
 WHERE a.cluster IN (SELECT cid FROM probe)
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id ASC
 LIMIT 10
+"""
+
+    # kmeans_centroids: the 3 Lloyd iterations unrolled as CTEs (same
+    # convention as pagerank_top10's unrolled power iteration); every
+    # centroid component floors to the 1e-6 grid after each mean, so both
+    # engines' iteration trajectories are bit-identical and the final
+    # assignment (cosine argmax, lowest-cid tie-break) is deterministic
+    km_iters = []
+    for t in range(1, 4):
+        p = t - 1
+        km_iters.append(f"""
+a{t} AS (
+  SELECT e.vec_id,
+         (SELECT cid FROM c{p}
+          ORDER BY list_cosine_similarity(e.v, c{p}.c) DESC, cid ASC
+          LIMIT 1) AS cluster
+  FROM e
+),
+m{t} AS (
+  SELECT a.cluster AS cid, r.i AS i,
+         floor(avg(e.v[r.i]) * 1e6 + 0.5) / 1e6 AS x
+  FROM e JOIN a{t} a USING (vec_id), unnest(range(1, len(e.v) + 1)) AS r(i)
+  GROUP BY 1, 2
+),
+c{t} AS (
+  SELECT cid, list(x ORDER BY i) AS c FROM m{t} GROUP BY cid
+  UNION ALL
+  SELECT cid, c FROM c{p}
+  WHERE cid NOT IN (SELECT DISTINCT cluster FROM a{t})
+)""")
+    o["kmeans_centroids"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (
+  SELECT vec_id AS cid, list_transform(v, x -> floor(x * 1e6 + 0.5) / 1e6) AS c
+  FROM e WHERE vec_id < 8
+),
+{','.join(km_iters)}
+SELECT e.vec_id,
+       (SELECT cid FROM c3
+        ORDER BY list_cosine_similarity(e.v, c3.c) DESC, cid ASC
+        LIMIT 1) AS cluster
+FROM e
 """
 
     markers = {

@@ -44,6 +44,78 @@ def _np_topk(emb_pdf, q, k):
     return [int(emb_pdf["vec_id"][i]) for i in order[:k]]
 
 
+def _np_kmeans(emb_pdf, k, iterations):
+    """Independent numpy reimplementation of similarity.kmeans_fit's
+    contract (init = k lowest ids quantized, cosine assignment with
+    lowest-id tie-break, mean update re-quantized to the 1e-6 grid)."""
+    import math
+
+    def q6(v):
+        return np.array([math.floor(float(x) * 1e6 + 0.5) / 1e6 for x in v])
+
+    m = np.array(emb_pdf["embedding"].tolist(), dtype=np.float64)
+    cents = np.stack([q6(m[i]) for i in range(k)])
+
+    def assign(c):
+        sims = (m @ c.T) / (
+            np.linalg.norm(m, axis=1)[:, None] * np.linalg.norm(c, axis=1)[None, :]
+        )
+        return sims.argmax(axis=1)  # argmax takes the FIRST max = lowest id
+
+    for _ in range(iterations):
+        a = assign(cents)
+        for c in range(k):
+            if (a == c).any():
+                cents[c] = q6(m[a == c].mean(axis=0))
+    return cents, assign(cents)
+
+
+def test_kmeans_matches_numpy_reference(spark, emb, emb_pdf):
+    """kmeans_fit (Spark posexplode/groupBy Lloyd loop) must reproduce the
+    numpy reference bit-for-bit: quantizing centroids to the 1e-6 grid after
+    every update makes the iteration engine-independent."""
+    from awesome_spark_search.similarity import kmeans_fit
+
+    cents, asg = kmeans_fit(spark, emb, k=NCENT, iterations=3)
+    want_c, want_a = _np_kmeans(emb_pdf, NCENT, 3)
+    got_c = np.array(cents)
+    assert got_c.shape == want_c.shape
+    assert np.abs(got_c - want_c).max() == 0.0
+    got_a = {r["vec_id"]: r["cluster"] for r in asg.collect()}
+    assert got_a == {int(i): int(want_a[i]) for i in range(len(want_a))}
+    # determinism: a second fit is identical
+    cents2, _ = kmeans_fit(spark, emb, k=NCENT, iterations=3)
+    assert cents == cents2
+
+
+def test_ivf_recall_on_trained_centroids(spark, emb, emb_pdf):
+    """The full ANN pipeline on TRAINED centroids (not caller-supplied):
+    recall@10 of ivf_topk vs the exact brute force must clear the gate, and
+    the scan must actually prune (probed clusters hold < the full corpus)."""
+    from awesome_spark_search.similarity import assign_ivf_clusters, kmeans_fit
+
+    cents, _ = kmeans_fit(spark, emb, k=NCENT, iterations=3)
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in assign_ivf_clusters(emb, cents)
+        .groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(sizes.values()) == N
+    recalls = []
+    for qi in (3, 57, 201):
+        q = list(map(float, emb_pdf["embedding"][qi]))
+        exact = set(_np_topk(emb_pdf, q, 10))
+        got = {
+            r["vec_id"]
+            for r in ivf_topk(emb, cents, q, k=10, nprobe=3).collect()
+        }
+        recalls.append(len(got & exact) / 10)
+        # pruning is real: 3 of 8 trained clusters never hold everything
+        probed = sorted(sizes.values(), reverse=True)[:3]
+        assert sum(probed) < N
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
 def test_brute_force_matches_numpy(emb, emb_pdf):
     q = list(map(float, emb_pdf["embedding"][3]))
     got = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
