@@ -361,6 +361,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), _lsh_pairs(spark, sf)
         ).select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
+    # near-dup CLUSTER resolution: connected components (iterated min-label
+    # propagation) over the persisted LSH candidate pairs — one survivor per
+    # duplicate component, not per pair (a-b + b-c collapse transitively)
+    q["dup_clusters"] = lambda spark, sf: _dedup.dup_clusters(
+        _lsh_pairs(spark, sf)
+    )
     q["simhash"] = lambda spark, sf: _dedup.simhash(_docs(spark, sf))
 
     # --- similarity search ---
@@ -1143,6 +1149,24 @@ SELECT i.doc_a, i.doc_b,
 FROM inter i
 JOIN sizes za ON za.doc_id = i.doc_a
 JOIN sizes zb ON zb.doc_id = i.doc_b
+"""
+    # dup_clusters: connected components as a recursive CTE over the SAME
+    # banded-LSH pair set — pins transitivity (reach computes every label a
+    # node can see; min per node = the component's min id)
+    o["dup_clusters"] = f"""
+WITH RECURSIVE {bands_cte},
+uedges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(doc_id, lbl) AS (
+  SELECT src, src FROM uedges
+  UNION
+  SELECT e.src, r.lbl FROM uedges e JOIN reach r ON r.doc_id = e.dst
+)
+SELECT doc_id, min(lbl) AS cluster_id, (doc_id = min(lbl)) AS is_survivor
+FROM reach GROUP BY doc_id
 """
     o["simhash"] = """
 WITH dtoks AS (

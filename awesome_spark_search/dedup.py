@@ -375,3 +375,75 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
         )
         packed = bitval if packed is None else packed + bitval
     return votes.select("doc_id", packed.alias("simhash"))
+
+
+def dup_clusters(
+    pairs: DataFrame, max_iterations: int = 50
+) -> DataFrame:
+    """Near-duplicate CLUSTER resolution (VERDICT r4 #4): connected
+    components over candidate/verified pairs -> (doc_id, cluster_id,
+    is_survivor). LSH/Jaccard emit PAIRS; a curation pipeline needs one
+    survivor per duplicate *component* (a-b + b-c must collapse to ONE
+    cluster, keeping only min(a,b,c)), or chained near-dups survive in
+    pairs that were never directly compared.
+
+    Iterated min-label propagation, pure DataFrame algebra: labels start as
+    the node id; each round every node takes the min of its own and its
+    neighbors' labels (one join + one groupBy per round), until a fixpoint
+    (component diameter rounds — near-dup components are shallow in
+    practice; ``max_iterations`` bounds pathological chains). Each round
+    ``localCheckpoint``s to truncate lineage, the same iterate-persist
+    shape as pagerank.py. At 10^9-node scale swap in the alternating
+    large-star/small-star variant (Kiveris et al. 2014, public) — same
+    join/groupBy primitives, O(log n) rounds; min-label is the simpler
+    exact kernel and the per-round cost is identical.
+    """
+    und = pairs.select(
+        F.col("doc_a").cast("long").alias("src"),
+        F.col("doc_b").cast("long").alias("dst"),
+    )
+    edges = (
+        und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nbr"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        new_labels = labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nbr", "label")).alias("label"),
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "doc_id"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_survivor"),
+    )

@@ -128,3 +128,34 @@ def test_repetition_top_token_adversarial_high_distinct(spark):
     assert row["n_tokens"] == n
     assert row["top_token_ratio"] == want_top
     assert row["dup_token_ratio"] == want_dup
+
+
+def test_dup_clusters_transitivity_and_survivors(spark):
+    """Connected components over near-dup pairs: a 5-chain (diameter 4 —
+    forces multiple propagation rounds) collapses to ONE cluster with one
+    survivor; disjoint components keep distinct min-id labels."""
+    from awesome_spark_search.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5),  # chain 1-2-3-4-5 (mixed order)
+         (10, 11),                         # isolated pair
+         (20, 22), (21, 22)],              # star around 22
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_survivor"])
+        for r in dup_clusters(pairs).collect()
+    }
+    want = {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False), 5: (1, False),
+        10: (10, True), 11: (10, False),
+        20: (20, True), 21: (20, False), 22: (20, False),
+    }
+    assert got == want
+
+
+def test_dup_clusters_empty_pairs(spark):
+    from awesome_spark_search.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dup_clusters(pairs).collect() == []
