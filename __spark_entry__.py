@@ -29,7 +29,6 @@ from awesome_spark_search import similarity as _similarity
 from awesome_spark_search import textstats as _textstats
 from awesome_spark_search.build import build_index
 from awesome_spark_search.executor import QueryExecutor
-from awesome_spark_search.spell import correct_term
 from awesome_spark_search.stopwords import stopword_sql_list
 
 # ---------------------------------------------------------------------------
@@ -226,20 +225,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # --- query types (SURVEY §2.4) ---
+    # NOTE on entry budget: the driver records the first 50 queries()
+    # entries, so redundant-evidence entries moved to pytest-only pins in
+    # round 5 (COVERAGE.md "driver-gate budget" section maps each one):
+    # keyword_stopword_heavy (tests/test_golden_queries.py stopword-heavy
+    # golden), wand_keyword + phrase_wand (keyword_bm25/phrase_bm25 ALREADY
+    # serve through wand_topk/phrase_topk under use_packed=True — pinned by
+    # tests/test_wand_resume.py parity + never-scans gates),
+    # spelling_correction (subsumed by spelling_corrected_search + the
+    # Damerau-Levenshtein property tests), packed_roundtrip_positions
+    # (tests/test_wand_resume.py::test_decode_postings_roundtrip + codec
+    # property tests), events_user_totals (tests/test_streaming.py running
+    # totals), minhash_signatures (the lsh_candidate_pairs + ngram_jaccard
+    # oracles recompute the ENTIRE signature chain — a wrong signature
+    # would hash-mismatch both).
     q["keyword_bm25"] = lambda spark, sf: _search(spark, sf, "merge batch table")
-    q["keyword_stopword_heavy"] = lambda spark, sf: _search(spark, sf, "the a of merge value")
     q["phrase_bm25"] = lambda spark, sf: _search(spark, sf, '"table value"')
     q["bool_and"] = lambda spark, sf: _search_ids(spark, sf, "merge AND batch")
     q["bool_or"] = lambda spark, sf: _search_ids(spark, sf, "vector OR stream")
     q["bool_not"] = lambda spark, sf: _search_ids(spark, sf, "merge NOT batch")
     q["prefix_bm25"] = lambda spark, sf: _search(spark, sf, "sc*")
     q["mixed_bm25"] = lambda spark, sf: _search(spark, sf, '"table value" merge')
-    q["spelling_correction"] = lambda spark, sf: (
-        spark.createDataFrame(
-            [(correct_term("mrege", _executor(spark, sf).index.term_stats),)],
-            "corrected string",
-        )
-    )
     q["spelling_corrected_search"] = lambda spark, sf: _search(spark, sf, "mrege")
     # two-pass pseudo-relevance feedback (ref QueryProcessor.java:120-127),
     # feedback terms from the generated snippets of the top-3 docs; oracled:
@@ -248,20 +254,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sentence set-cover itself is pinned by tests/test_snippets_golden.py
     # and the discriminating fixture in tests/test_edge_cases.py)
     q["prf_search"] = lambda spark, sf: _search(spark, sf, "merge batch #3")
-    q["wand_keyword"] = lambda spark, sf: (
-        (lambda ex: __import__("awesome_spark_search.wand", fromlist=["x"])
-         .wand_topk(spark, ex.index, ["merge", "batch", "table"], k=10)
-         .select("doc_id", F.round(F.col("score"), 4).alias("score")))(
-            _executor(spark, sf)
-        )
-    )
-    q["phrase_wand"] = lambda spark, sf: (
-        (lambda ex: __import__("awesome_spark_search.wand", fromlist=["x"])
-         .phrase_topk(spark, ex.index, ["table", "value"], k=10)
-         .select("doc_id", F.round(F.col("score"), 4).alias("score")))(
-            _executor(spark, sf)
-        )
-    )
     # QL/JM serves off the PACKED index too (wand.ql_topk: per-shard decode,
     # dl from dls_vb, broadcast cf — no long-table scan at query time)
     q["ql_jm_keyword"] = lambda spark, sf: (
@@ -299,12 +291,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["packed_roundtrip_tf"] = lambda spark, sf: (
         (lambda ex: __import__("awesome_spark_search.wand", fromlist=["x"])
          .decode_postings(ex.index, "merge"))(_executor(spark, sf))
-    )
-    q["packed_roundtrip_positions"] = lambda spark, sf: (
-        (lambda ex: __import__("awesome_spark_search.wand", fromlist=["x"])
-         .decode_postings(ex.index, "merge", with_positions=True))(
-            _executor(spark, sf)
-        )
     )
     # snippet_top5: oracled as an integration check — documents.text has no
     # sentence punctuation, so each snippet is exactly trim(text) of the
@@ -350,10 +336,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # copy so the operator's output is non-trivial (every content x2)
     q["exact_dedup"] = lambda spark, sf: _dedup.exact_duplicates(
         _docs_with_planted_dups(spark, sf)
-    )
-    q["minhash_signatures"] = lambda spark, sf: (
-        _dedup.minhash_signatures(_docs(spark, sf))
-        .select("doc_id", F.concat_ws(",", "sig").alias("sig_csv"))
     )
     q["lsh_candidate_pairs"] = lambda spark, sf: _lsh_pairs(spark, sf)
     q["ngram_jaccard"] = lambda spark, sf: (
@@ -472,35 +454,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id", "n", "sum_value",
         )
     )
-    q["events_user_totals"] = lambda spark, sf: (
-        spark.read.parquet(f"{sf}/events.parquet")
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
-        )
-    )
-
-    # --- multimodal plumbing (no SQL oracle: synthetic binary payloads) ---
-    q["media_features"] = lambda spark, sf: (
-        (lambda m: __import__("awesome_spark_search.multimodal", fromlist=["x"])
-         .extract_features(m)
-         .select("media_id", "payload_sha256", "n_bytes"))(
-            __import__("awesome_spark_search.multimodal", fromlist=["x"]).synth_media(spark, 64)
-        )
-    )
-    q["media_resize"] = lambda spark, sf: (
-        (lambda mm: mm.resize_images(mm.synth_media(spark, 64), 16, 16)
-         .select("media_id", "width", "height", "payload_sha256"))(
-            __import__("awesome_spark_search.multimodal", fromlist=["x"])
-        )
-    )
-    q["media_frame_sample"] = lambda spark, sf: (
-        (lambda mm: mm.sample_frames(mm.synth_media(spark, 64))
-         .select("media_id", "frame_idx", "ts_ms"))(
-            __import__("awesome_spark_search.multimodal", fromlist=["x"])
-        )
-    )
     # REAL stdlib container parsing (PNG IHDR / WAV fmt+data chunk walk) over
     # deterministic generated payloads. HASH-VERIFIED: synth_probe_media's
     # construction is closed-form in the row index, so the oracle recomputes
@@ -541,7 +494,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    # multimodal kernel plumbing in ONE rows-only entry (LAST by design —
+    # the only entry without a value oracle; the three kernels it folds
+    # were separate entries through round 4 and are still individually
+    # contract-tested in tests/test_multimodal.py): feature extraction,
+    # image resize (stub-by-default decoder; the REAL PNG decoder is
+    # golden-tested), and frame sampling over synthetic binary payloads.
+    q["media_kernels"] = lambda spark, sf: _media_kernels(spark)
+
     return q
+
+
+def _media_kernels(spark) -> DataFrame:
+    import awesome_spark_search.multimodal as mm
+
+    m = mm.synth_media(spark, 64)
+    feat = mm.extract_features(m).select("media_id", "payload_sha256", "n_bytes")
+    rz = mm.resize_images(m, 16, 16).select(
+        "media_id", "width", "height",
+        F.col("payload_sha256").alias("resized_sha256"),
+    )
+    fr = mm.sample_frames(m).groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("ts_ms").alias("last_ts_ms"),
+    )
+    # left joins: resize emits only image rows, frame sampling only video —
+    # every synthesized media row stays present with NULLs elsewhere
+    return feat.join(rz, "media_id", "left").join(fr, "media_id", "left")
 
 
 _FIELD_WEIGHTS = {"text": 1.0, "source": 0.5}
@@ -699,7 +678,6 @@ SELECT term, df, cf FROM dfcf ORDER BY df DESC, term ASC LIMIT 20
 """
 
     o["keyword_bm25"] = _bm25_sql(_const_terms(["merge", "batch", "table"]))
-    o["keyword_stopword_heavy"] = _bm25_sql(_const_terms(["merge", "value"]))
     phrase_cte = _PHRASE_DOCS_SQL.format(w1="table", w2="value")
     o["phrase_bm25"] = f"""
 WITH {_TOK_CTE},
@@ -759,14 +737,6 @@ scored AS (
 )
 SELECT doc_id, round(raw, 4) AS score FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 10
 """
-    o["spelling_correction"] = f"""
-WITH {_TOK_CTE}
-SELECT term AS corrected FROM dfcf
-WHERE substr(term, 1, 1) = 'm' AND abs(length(term) - 5) <= 2
-  AND damerau_levenshtein(term, 'mrege') <= 3
-ORDER BY damerau_levenshtein(term, 'mrege') ASC, cf DESC, term ASC
-LIMIT 1
-"""
     o["spelling_corrected_search"] = _bm25_sql(_const_terms(["merge"]))
     # PRF: pass 1 = BM25 top-3 for (merge, batch); snippets == whole docs on
     # this corpus (no sentence punctuation in documents.text); expansion = 10
@@ -807,10 +777,6 @@ scored AS (
 SELECT doc_id, round(raw, 4) AS score
 FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 10
 """
-    # WAND must be rank- AND score-identical to the exhaustive BM25 plan
-    o["wand_keyword"] = _bm25_sql(_const_terms(["merge", "batch", "table"]))
-    # packed-index positional phrase == the DataFrame phrase plan's oracle
-    o["phrase_wand"] = o["phrase_bm25"]
     o["ql_jm_keyword"] = f"""
 WITH {_TOK_CTE},
 qt AS ({_const_terms(["merge", "value"])}),
@@ -837,12 +803,6 @@ SELECT doc_id, tf::INT AS tf FROM tf WHERE term = 'merge'
     # the merged-index round-trip must reproduce the full-corpus tokenize
     # bit-for-bit — one oracle shared with the single-index round-trip
     o["packed_merge_roundtrip"] = o["packed_roundtrip_tf"]
-    o["packed_roundtrip_positions"] = f"""
-WITH {_TOK_CTE}
-SELECT doc_id, (i - 1)::INT AS pos
-FROM toks, unnest(range(1, len(all_toks) + 1)) AS t(i)
-WHERE all_toks[i] = 'merge'
-"""
     # shared fielded tokenization CTE (text w=1.0, source w=0.5) — reused by
     # every fielded oracle; per-query CTEs (fdf, phrase restriction, scored)
     # compose on top
@@ -1108,14 +1068,6 @@ sig AS (
   SELECT doc_id, p, min(h) AS m FROM hashed GROUP BY 1, 2
 )"""
 
-    o["minhash_signatures"] = f"""
-WITH {_minhash_chain(False)},
-sigarr AS (
-  SELECT doc_id, array_to_string(list(m ORDER BY p), ',') AS sig_csv
-  FROM sig GROUP BY doc_id
-)
-SELECT doc_id, sig_csv FROM sigarr
-"""
     bands_cte = _minhash_chain(True) + f""",
 bands AS (
   SELECT doc_id, (p // 2) AS band,
@@ -1531,10 +1483,6 @@ w AS (
 SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
        count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
 FROM w GROUP BY 1, 2
-"""
-    o["events_user_totals"] = """
-SELECT user_id, count(*)::BIGINT AS n_events, round(sum(value), 4) AS total_value
-FROM events GROUP BY user_id
 """
     # session windows (gap = 10 min): classic gaps-and-islands
     o["events_session"] = """
