@@ -601,10 +601,15 @@ def _packed_merge_roundtrip(spark, sf) -> DataFrame:
 
 
 def _docs_with_planted_dups(spark, sf) -> DataFrame:
+    # Offset clones by count(*) without a driver-side action: the count rides
+    # as a broadcast 1-row aggregate (same shape as pagerank's dangling-mass
+    # join), so the whole entry stays ONE Spark action.
     docs = _docs(spark, sf).select("doc_id", "text")
-    n = docs.count()
+    n_df = docs.agg(F.count(F.lit(1)).alias("_n"))
     return docs.unionByName(
-        docs.select((F.col("doc_id") + F.lit(n)).alias("doc_id"), "text")
+        docs.crossJoin(F.broadcast(n_df)).select(
+            (F.col("doc_id") + F.col("_n")).alias("doc_id"), "text"
+        )
     )
 
 
