@@ -240,10 +240,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracles recompute the ENTIRE signature chain — a wrong signature
     # would hash-mismatch both).
     q["keyword_bm25"] = lambda spark, sf: _search(spark, sf, "merge batch table")
+    # batched multi-query serving: the whole workload in ONE Spark action
+    # (one bucket-pruned packed scan of the union of all terms, per-shard
+    # per-query block-max WAND, one window for the global per-query top-k) —
+    # the queries/sec lever at cluster scale; rank+score identical to
+    # calling search() per query (tests/test_batch.py)
+    q["batch_search"] = lambda spark, sf: (
+        _executor(spark, sf).search_many(
+            {
+                "q0": "merge batch table",
+                "q1": "vector stream",
+                "q2": "table value merge",
+                "q3": "stream batch value",
+            },
+            k=10,
+        ).select(
+            "query_id", F.col("rank").cast("long").alias("rank"),
+            "doc_id", F.round(F.col("score"), 4).alias("score"),
+        )
+    )
     q["phrase_bm25"] = lambda spark, sf: _search(spark, sf, '"table value"')
-    q["bool_and"] = lambda spark, sf: _search_ids(spark, sf, "merge AND batch")
-    q["bool_or"] = lambda spark, sf: _search_ids(spark, sf, "vector OR stream")
-    q["bool_not"] = lambda spark, sf: _search_ids(spark, sf, "merge NOT batch")
+    # one right-associative nested query covers all three boolean ops in a
+    # single entry (round-5 driver-gate budget: bool_and/bool_or/bool_not
+    # consolidated — COVERAGE.md maps the move): parses to
+    # AND(merge, OR(batch, NOT(vector, stream))), serves off the packed
+    # per-shard set algebra (wand.boolean_docs), recency-ordered
+    q["bool_nested"] = lambda spark, sf: _search_ids(
+        spark, sf, "merge AND batch OR vector NOT stream"
+    )
     q["prefix_bm25"] = lambda spark, sf: _search(spark, sf, "sc*")
     q["mixed_bm25"] = lambda spark, sf: _search(spark, sf, '"table value" merge')
     q["spelling_corrected_search"] = lambda spark, sf: _search(spark, sf, "mrege")
@@ -377,6 +401,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["ivf_topk"] = lambda spark, sf: (
         _similarity.ivf_topk(
+            _emb(spark, sf), _centroids(spark, sf), _query_vec(spark, sf),
+            k=10, nprobe=2,
+        ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+    )
+    # the two ANN scale levers COMPOSED (promoted from pytest-only in round
+    # 5): IVF cluster pruning (scan nprobe/nlist of the corpus) over the
+    # int8-quantized store (4x fewer bytes per scanned row) — the oracle
+    # re-derives cluster assignment, probe shortlist, AND the
+    # floor(x/s+0.5) quantization in SQL
+    q["ivf_topk_int8"] = lambda spark, sf: (
+        _similarity.ivf_topk_quantized(
             _emb(spark, sf), _centroids(spark, sf), _query_vec(spark, sf),
             k=10, nprobe=2,
         ).select("vec_id", F.round("cosine", 4).alias("cosine"))
@@ -702,23 +737,50 @@ scored AS (
 )
 SELECT doc_id, round(raw, 4) AS score FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 10
 """
-    o["bool_and"] = f"""
+    # right-associative parse: AND(merge, OR(batch, NOT(vector, stream)))
+    o["bool_nested"] = f"""
 WITH {_TOK_CTE}
 SELECT doc_id FROM tf WHERE term = 'merge'
-INTERSECT SELECT doc_id FROM tf WHERE term = 'batch'
+INTERSECT
+(SELECT doc_id FROM tf WHERE term = 'batch'
+ UNION
+ (SELECT doc_id FROM tf WHERE term = 'vector'
+  EXCEPT
+  SELECT doc_id FROM tf WHERE term = 'stream'))
 ORDER BY doc_id DESC LIMIT 10
 """
-    o["bool_or"] = f"""
-WITH {_TOK_CTE}
-SELECT doc_id FROM tf WHERE term = 'vector'
-UNION SELECT doc_id FROM tf WHERE term = 'stream'
-ORDER BY doc_id DESC LIMIT 10
-"""
-    o["bool_not"] = f"""
-WITH {_TOK_CTE}
-SELECT doc_id FROM tf WHERE term = 'merge'
-EXCEPT SELECT doc_id FROM tf WHERE term = 'batch'
-ORDER BY doc_id DESC LIMIT 10
+    _batch_vals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, terms in [
+            ("q0", ["merge", "batch", "table"]),
+            ("q1", ["vector", "stream"]),
+            ("q2", ["table", "value", "merge"]),
+            ("q3", ["stream", "batch", "value"]),
+        ]
+        for t in terms
+    )
+    o["batch_search"] = f"""
+WITH {_TOK_CTE},
+qts AS (SELECT * FROM (VALUES {_batch_vals}) v(query_id, term)),
+matched AS (
+  SELECT q.query_id, tf.doc_id, tf.term, tf.tf
+  FROM tf JOIN qts q ON tf.term = q.term
+),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         sum(ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0)
+             * m.tf / (m.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / s.avgdl))) AS raw
+  FROM matched m JOIN dfcf d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, round(raw, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw DESC, doc_id ASC) AS "rank"
+  FROM scored
+)
+SELECT query_id, "rank", doc_id, score FROM ranked WHERE "rank" <= 10
+ORDER BY query_id, "rank"
 """
     o["prefix_bm25"] = _bm25_sql(
         "SELECT DISTINCT term, 1.0 AS weight FROM dfcf WHERE term LIKE 'sc%'"
@@ -1231,6 +1293,50 @@ FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id CROSS JOIN q
 WHERE a.cluster IN (SELECT cid FROM probe)
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id ASC
 LIMIT 10
+"""
+
+    # IVF x int8 composed: cluster assignment + probe shortlist off the
+    # FLOAT vectors (exactly like ivf_topk), rerank over the quantized
+    # store (exactly like cosine_topk_int8) — quantization is per-vector,
+    # so pruning before or after it is identical
+    o["ivf_topk_int8"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < 10
+),
+qf AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+assign AS (
+  SELECT e.vec_id,
+         (SELECT cid FROM cents
+          ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c) DESC, cid ASC
+          LIMIT 1) AS cluster
+  FROM embeddings e
+),
+probe AS (
+  SELECT cid FROM cents, qf
+  ORDER BY list_cosine_similarity(c, qv) DESC, cid ASC LIMIT 2
+),
+ev AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS s
+  FROM embeddings
+),
+eq AS (SELECT vec_id, {_quant} AS q FROM ev),
+qq AS (SELECT q AS qv8 FROM eq WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         CASE WHEN sqrt(list_dot_product(e.q, e.q))
+                   * sqrt(list_dot_product(qq.qv8, qq.qv8)) = 0 THEN 0.0
+              ELSE list_dot_product(e.q, qq.qv8)
+                   / (sqrt(list_dot_product(e.q, e.q))
+                      * sqrt(list_dot_product(qq.qv8, qq.qv8)))
+         END AS c
+  FROM eq e CROSS JOIN qq
+  WHERE e.vec_id IN (
+    SELECT a.vec_id FROM assign a
+    WHERE a.cluster IN (SELECT cid FROM probe))
+)
+SELECT vec_id, round(c, 4) AS cosine
+FROM scored ORDER BY c DESC, vec_id ASC LIMIT 10
 """
 
     # kmeans_centroids: the 3 Lloyd iterations unrolled as CTEs (same

@@ -399,6 +399,54 @@ class QueryExecutor:
         rows = self._run_once(pq, k)
         return self._localize(rows)
 
+    def search_many(self, queries: dict[str, str], k: int = 10) -> DataFrame:
+        """Batched keyword serving: the whole workload in ONE Spark action.
+
+        ``queries`` maps query_id -> query text; every query must parse to a
+        plain keyword bag (the high-throughput workload shape — phrase /
+        boolean / PRF queries go through ``search``). Spelling corrections
+        for the ENTIRE batch resolve exactly like the single-query path and
+        still cost zero extra actions on the happy path (existence via the
+        cached vocab / once-built Bloom; one batched ``correct_terms`` job
+        only when typos exist). Returns (query_id, rank, doc_id, score) —
+        collecting it runs one job: a single bucket-pruned packed scan of the
+        union of all terms, per-shard per-query block-max WAND, one window
+        for the global per-query top-k. Rank+score identical to calling
+        ``search`` per query (tests/test_batch.py)."""
+        if not (self.use_packed and self.scorer == "bm25"):
+            raise ValueError("search_many requires use_packed=True and bm25")
+        from . import wand as _wand
+
+        parsed: dict[str, Q.ParsedQuery] = {}
+        all_terms: list[str] = []
+        for qid, text in queries.items():
+            pq = Q.parse(text, tokenize=self._tokenize_query)
+            if pq.prf > 0 or not isinstance(pq.ast, Q.Keyword):
+                raise ValueError(
+                    f"search_many handles keyword queries only; {text!r} "
+                    f"parsed to {type(pq.ast).__name__}"
+                )
+            parsed[qid] = pq
+            all_terms.extend(pq.ast.terms)
+        exact_q = [t for t in all_terms if not t.endswith("*")]
+        self._corrections = self._find_corrections(exact_q) if exact_q else {}
+        self.last_corrections = dict(self._corrections)
+        term_sets: dict[str, list[str]] = {}
+        for qid, pq in parsed.items():
+            exact, prefixes, _ = self.resolve_terms(pq.ast.terms)
+            expanded = self._expand_prefixes(prefixes)
+            if expanded is None:
+                raise ValueError(
+                    f"batch prefix term in {queries[qid]!r} is not "
+                    "dictionary-expandable (no cached vocab or explosive "
+                    "prefix) — run it through search()"
+                )
+            term_sets[qid] = exact + expanded
+        return _wand.wand_topk_many(
+            self.spark, self.index, term_sets, k=k,
+            n_term_buckets=self.n_buckets,
+        )
+
     def _run_once(self, pq: Q.ParsedQuery, k: int) -> list:
         if self.fielded_index is not None and self.scorer == "bm25":
             # EVERY ranked query type gets zone weights — the reference's

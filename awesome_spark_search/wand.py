@@ -301,6 +301,97 @@ def wand_topk(
     return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
+BATCH_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+def _batch_shard_factory(term_sets: dict[str, list[str]], avgdl: float, k: int):
+    """applyInPandas: the UNION of all batch queries' packed rows in one
+    doc_shard -> per-query local top-k. Each query runs its own
+    ``_wand_pass`` (block skipping stays per-query exact); what is shared is
+    the expensive part — the single bucket-pruned scan, the shuffle, and the
+    per-action fixed cost."""
+    ordered = [(qid, list(dict.fromkeys(ts))) for qid, ts in term_sets.items()]
+
+    def shard_batch(left: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+            {"query_id": "object", "doc_id": "int64", "score": "float64"}
+        )
+        if left.empty:
+            return empty
+        rows = {
+            r["term"]: (
+                float(r["idf"]),
+                np.asarray(r["block_max"], dtype=np.float64),
+                r,
+            )
+            for _, r in left.iterrows()
+        }
+        parts = []
+        for qid, terms in ordered:
+            trs = [rows[t] for t in terms if t in rows]
+            if not trs:
+                continue
+            cand_ids, cand_scores = _wand_pass(
+                trs, avgdl, k,
+                np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64),
+            )
+            pdf = _local_topk(cand_ids, cand_scores, k)
+            if len(pdf):
+                pdf.insert(0, "query_id", qid)
+                parts.append(pdf)
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    return shard_batch
+
+
+def wand_topk_many(
+    spark: SparkSession,
+    index: Index,
+    term_sets: dict[str, list[str]],
+    k: int = 10,
+    n_term_buckets: int = 64,
+) -> DataFrame:
+    """Batched top-k BM25: the whole query BATCH in ONE Spark action.
+
+    The serving cost of a single query at scale is dominated by fixed
+    per-action work (job scheduling, the packed scan's task launch, one
+    shuffle) — amortizing it across a workload is the real queries/sec lever
+    on a 1000-executor cluster (the reference serves queries one at a time
+    from a REPL, src/SearchCli.java; batching is the Spark-first upgrade of
+    that loop). Every batch query's packed rows arrive in one bucket-pruned
+    scan (union of all terms), each doc_shard runs the per-query block-max
+    WAND loops over the SAME scanned rows, and the global per-query top-k is
+    a single window over n_shards * k * n_queries tiny local rows. Results
+    are rank+score identical to per-query ``wand_topk`` (pinned by
+    tests/test_batch.py)."""
+    assert index.packed is not None, "index built without packed postings"
+    all_terms = sorted({t for ts in term_sets.values() for t in ts})
+    if not all_terms:
+        return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
+    from pyspark.sql.window import Window
+
+    packed = _packed_with_idf(index, all_terms, n_term_buckets)
+    local = packed.groupBy("doc_shard").applyInPandas(
+        _batch_shard_factory(term_sets, index.stats.avgdl, k),
+        BATCH_RESULT_SCHEMA,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
 def _ql_shard_factory(lam: float, total_tokens: int, k: int):
     """applyInPandas: packed rows of one doc_shard -> local QL/JM top-k.
     No block skipping: QL contributions are negative log-mixtures, so there

@@ -8,10 +8,14 @@ Runs the headline pipeline at ``$SPARK_GRAFT_SF_DIR`` (default
   build_docs_per_sec,
 * best-of-2 timings over the headline query/operator set (BM25 keyword,
   phrase, boolean, prefix, mixed, PRF, block-max WAND on the packed index,
-  MinHash-LSH dedup, SimHash, embedding cosine top-k, language-ID, windowed
-  events agg) — min over two back-to-back runs because this host's bursty
-  CPU steal makes single samples swing 2-3x; a pure-CPU host-control probe
-  is reported alongside so noisy windows are identifiable.
+  a 16-query batched workload in ONE action, MinHash-LSH dedup, SimHash,
+  embedding cosine top-k, language-ID, windowed events agg) — min over two
+  back-to-back runs because this host's bursty CPU steal makes single
+  samples swing 2-3x; a pure-CPU host-control probe is reported alongside
+  so noisy windows are identifiable,
+* the north metric's latency figure: p50/p95 over 12 back-to-back keyword
+  top-k actions, plus batched queries/sec (batch16_qps) and the measured
+  batch-vs-sequential speedup.
 
 Output: {"metric": ..., "value": total_sec, "unit": "sec",
          "queries": {name: sec, ...}, "sf": ..., ...extras}
@@ -124,6 +128,43 @@ def run(sf_dir: str, cpus: int, do_stem: bool = True) -> dict:
     wand_terms = ex._tokenize_query("merge batch table")
     timed("q_wand_topk", lambda: wand_topk(spark, idx, wand_terms, k=10).collect())
 
+    # the north metric's latency figure: p50/p95 over 12 back-to-back
+    # single-query top-k BM25 actions (packed WAND serving). Report raw
+    # order statistics — on this steal-prone host p95 mostly measures the
+    # worst host window of the 12, so read it against host_control_sec.
+    lat = []
+    for _ in range(12):
+        t0 = time.perf_counter()
+        ex.search("merge batch table", k=10).collect()
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    keyword_p50 = round(lat[len(lat) // 2], 4)
+    keyword_p95 = round(lat[min(len(lat) - 1, round(0.95 * (len(lat) - 1)))], 4)
+
+    # batched serving: a 16-query keyword workload in ONE Spark action
+    # (search_many: one bucket-pruned packed scan of the union of all terms,
+    # per-shard per-query WAND, one window) vs the same 16 queries run
+    # sequentially — the queries/sec lever at cluster scale. Sequential side
+    # runs once (16 actions average the host bursts); batch is best-of-2.
+    batch16 = {
+        f"b{i}": q
+        for i, q in enumerate(
+            [
+                "merge batch table", "vector stream", "table value",
+                "stream batch value", "merge vector", "batch table",
+                "scan sort merge", "hash join group", "index query score",
+                "buffer posting list", "compress encode decode",
+                "partition shard block", "cache flush commit",
+                "search rank filter", "token stream parse", "schema column row",
+            ]
+        )
+    }
+    t0 = time.perf_counter()
+    for q in batch16.values():
+        ex.search(q, k=10).collect()
+    batch16_sequential = round(time.perf_counter() - t0, 4)
+    timed("q_batch16", lambda: ex.search_many(batch16, k=10).collect())
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
         "doc_id", F.col("doc_id").cast("long")
     )
@@ -186,10 +227,12 @@ def run(sf_dir: str, cpus: int, do_stem: bool = True) -> dict:
 
     # headline value excludes the supplementary at-scale build
     total = round(sum(v for k, v in timings.items() if k != "index_build_50k"), 4)
-    # round-over-round comparability: q_mixed/q_prf joined the set in round 4,
-    # so the r1-r3 totals correspond to this subset, not to "value"
+    # round-over-round comparability: q_batch16 joined in round 5,
+    # q_mixed/q_prf in round 4 — earlier rounds' totals correspond to these
+    # subsets, not to "value"
+    pre_r5 = round(total - timings.get("q_batch16", 0.0), 4)
     legacy = round(
-        total - timings.get("q_mixed", 0.0) - timings.get("q_prf", 0.0), 4
+        pre_r5 - timings.get("q_mixed", 0.0) - timings.get("q_prf", 0.0), 4
     )
     build_sec = timings["index_build"]
     control_end = host_control()
@@ -198,7 +241,19 @@ def run(sf_dir: str, cpus: int, do_stem: bool = True) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "value_pre_r5_query_set": pre_r5,
         "value_pre_r4_query_set": legacy,
+        "q_keyword_p50": keyword_p50,
+        "q_keyword_p95": keyword_p95,
+        "batch16_sequential_sec": batch16_sequential,
+        "batch16_qps": round(16 / timings["q_batch16"], 2)
+        if timings.get("q_batch16")
+        else None,
+        "batch16_speedup_vs_sequential": round(
+            batch16_sequential / timings["q_batch16"], 2
+        )
+        if timings.get("q_batch16")
+        else None,
         "sf": sf_dir,
         "cpus": cpus,
         "n_docs": n_docs,

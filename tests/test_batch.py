@@ -1,0 +1,112 @@
+"""Batched multi-query serving (wand.wand_topk_many / executor.search_many):
+the whole query workload in ONE Spark action, rank+score identical to
+per-query search(). The reference serves queries one at a time from a REPL
+loop (src/SearchCli.java); batching amortizes the per-action fixed cost —
+the real queries/sec lever at cluster scale."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from awesome_spark_search import corpus
+from awesome_spark_search.build import build_index
+from awesome_spark_search.executor import QueryExecutor
+from awesome_spark_search.textproc import preprocess_query_terms
+from awesome_spark_search.wand import wand_topk, wand_topk_many
+
+N_DOCS = 250
+
+BATCH = {
+    "q0": "buffer merge scan",
+    "q1": "compress encode varint",
+    "q2": "posting list merge sort",  # shares 'merge' with q0
+    "q3": "buffer",
+    "q4": "zzzznothing",  # no hits at all
+}
+
+
+@pytest.fixture(scope="module")
+def packed_index(spark):
+    src = spark.createDataFrame(corpus.generate_pandas(N_DOCS, seed=42))
+    idx = build_index(spark, src, do_stem=True, build_packed=True, doc_shard_size=64)
+    idx.doc_shard_size = 64
+    return idx
+
+
+def test_batch_matches_per_query_wand(spark, packed_index):
+    term_sets = {
+        qid: preprocess_query_terms(q, do_stem=True) for qid, q in BATCH.items()
+    }
+    got = wand_topk_many(spark, packed_index, term_sets, k=10).collect()
+    by_qid: dict[str, list] = {}
+    for r in got:
+        by_qid.setdefault(r["query_id"], []).append(r)
+    assert "q4" not in by_qid  # no postings -> no rows for that query only
+    for qid, terms in term_sets.items():
+        want = wand_topk(spark, packed_index, terms, k=10).collect()
+        rows = by_qid.get(qid, [])
+        assert [r["doc_id"] for r in rows] == [w["doc_id"] for w in want], qid
+        assert [r["rank"] for r in rows] == list(range(1, len(want) + 1)), qid
+        for g, w in zip(rows, want):
+            assert abs(g["score"] - w["score"]) < 1e-9, qid
+
+
+def test_search_many_matches_search(spark, packed_index):
+    """Full pipeline parity, including a typo'd query (batched correction)
+    and a dictionary-expanded prefix query."""
+    batch = dict(BATCH, q5="mrege", q6="token*")
+    ex = QueryExecutor(spark, packed_index, use_packed=True)
+    got = ex.search_many(batch, k=10).collect()
+    # the index is stemmed, so the correction target is the stemmed form —
+    # exactly what single-query search("mrege") applies too
+    assert ex.last_corrections.get("mrege") == "merg"
+    by_qid: dict[str, list] = {}
+    for r in got:
+        by_qid.setdefault(r["query_id"], []).append(r)
+    for qid, q in batch.items():
+        want = ex.search(q, k=10).collect()
+        rows = by_qid.get(qid, [])
+        assert [r["doc_id"] for r in rows] == [w["doc_id"] for w in want], qid
+        for g, w in zip(rows, want):
+            assert abs(g["score"] - w["score"]) < 1e-9, qid
+
+
+def test_search_many_is_lazy_and_never_scans_long_postings(
+    spark, packed_index, monkeypatch
+):
+    """The batch is ONE user-level action by construction (a single collect
+    on one composed plan); pinned here: building the plan schedules NO Spark
+    job (laziness — a typo-free batch has zero driver-side actions once the
+    vocab is warm; a typo'd term costs the usual single batched correction
+    job, same as search()), and the long postings table is never touched."""
+    ex = QueryExecutor(spark, packed_index, use_packed=True)
+    ex._get_vocab()  # warm the vocab cache (one-time per executor, not per query)
+
+    def boom(*a, **k):
+        raise AssertionError("long postings table scanned in batch mode")
+
+    monkeypatch.setattr(ex, "_postings_for_terms", boom)
+    monkeypatch.setattr(ex, "_postings_for_prefix", boom)
+    clean = {k: v for k, v in BATCH.items() if k != "q4"}  # q4 is a typo
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    plan = ex.search_many(clean, k=5)  # plan construction: zero actions
+    assert len(tracker.getJobIdsForGroup() or []) == before
+    assert len(plan.collect()) > 0
+
+
+def test_search_many_rejects_non_keyword(spark, packed_index):
+    ex = QueryExecutor(spark, packed_index, use_packed=True)
+    with pytest.raises(ValueError, match="keyword queries only"):
+        ex.search_many({"p": '"merge sort"'})
+    with pytest.raises(ValueError, match="keyword queries only"):
+        ex.search_many({"b": "buffer AND merge"})
+    with pytest.raises(ValueError, match="use_packed"):
+        QueryExecutor(spark, packed_index).search_many({"k": "buffer"})
+
+
+def test_empty_batch_and_empty_terms(spark, packed_index):
+    ex = QueryExecutor(spark, packed_index, use_packed=True)
+    assert ex.search_many({}, k=5).collect() == []
+    # stop-word-only query tokenizes to nothing -> contributes no rows
+    out = ex.search_many({"q0": "buffer", "q1": "the of and"}, k=5).collect()
+    assert {r["query_id"] for r in out} == {"q0"}
