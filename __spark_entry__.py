@@ -240,11 +240,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracles recompute the ENTIRE signature chain — a wrong signature
     # would hash-mismatch both).
     q["keyword_bm25"] = lambda spark, sf: _search(spark, sf, "merge batch table")
-    # batched multi-query serving: the whole workload in ONE Spark action
-    # (one bucket-pruned packed scan of the union of all terms, per-shard
-    # per-query block-max WAND, one window for the global per-query top-k) —
-    # the queries/sec lever at cluster scale; rank+score identical to
-    # calling search() per query (tests/test_batch.py)
+    # batched multi-query serving: the whole workload — keyword bags, an
+    # exact phrase, AND a Mixed query — in ONE Spark action (one
+    # bucket-pruned packed scan of the union of all terms, per-shard
+    # per-query kernels, one window for the global per-query top-k) — the
+    # queries/sec lever at cluster scale; rank+score identical to calling
+    # search() per query (tests/test_batch.py)
     q["batch_search"] = lambda spark, sf: (
         _executor(spark, sf).search_many(
             {
@@ -252,6 +253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "q1": "vector stream",
                 "q2": "table value merge",
                 "q3": "stream batch value",
+                "q4": '"table value"',
+                "q5": '"table value" merge',
             },
             k=10,
         ).select(
@@ -761,10 +764,21 @@ ORDER BY doc_id DESC LIMIT 10
     )
     o["batch_search"] = f"""
 WITH {_TOK_CTE},
+{_PHRASE_DOCS_SQL.format(w1="table", w2="value")},
 qts AS (SELECT * FROM (VALUES {_batch_vals}) v(query_id, term)),
 matched AS (
   SELECT q.query_id, tf.doc_id, tf.term, tf.tf
   FROM tf JOIN qts q ON tf.term = q.term
+  UNION ALL
+  SELECT 'q4', tf.doc_id, tf.term, tf.tf
+  FROM tf WHERE term IN ('table', 'value')
+    AND tf.doc_id IN (SELECT doc_id FROM phrase_docs)
+  UNION ALL
+  SELECT 'q5', tf.doc_id, tf.term, tf.tf
+  FROM tf WHERE term IN ('table', 'value')
+    AND tf.doc_id IN (SELECT doc_id FROM phrase_docs)
+  UNION ALL
+  SELECT 'q5', tf.doc_id, tf.term, tf.tf FROM tf WHERE term = 'merge'
 ),
 scored AS (
   SELECT m.query_id, m.doc_id,

@@ -400,19 +400,22 @@ class QueryExecutor:
         return self._localize(rows)
 
     def search_many(self, queries: dict[str, str], k: int = 10) -> DataFrame:
-        """Batched keyword serving: the whole workload in ONE Spark action.
+        """Batched serving: the whole workload in ONE Spark action.
 
-        ``queries`` maps query_id -> query text; every query must parse to a
-        plain keyword bag (the high-throughput workload shape — phrase /
-        boolean / PRF queries go through ``search``). Spelling corrections
-        for the ENTIRE batch resolve exactly like the single-query path and
-        still cost zero extra actions on the happy path (existence via the
-        cached vocab / once-built Bloom; one batched ``correct_terms`` job
-        only when typos exist). Returns (query_id, rank, doc_id, score) —
-        collecting it runs one job: a single bucket-pruned packed scan of the
-        union of all terms, per-shard per-query block-max WAND, one window
-        for the global per-query top-k. Rank+score identical to calling
-        ``search`` per query (tests/test_batch.py)."""
+        ``queries`` maps query_id -> query text; every ranked one-pass query
+        type batches — keyword bags, exact phrases, and Mixed
+        ('"phrase" extra words') queries, each running its single-query
+        kernel per shard over ONE shared scan. Boolean/LinkTo (unranked) and
+        PRF (inherently two-pass) go through ``search``. Spelling
+        corrections for the ENTIRE batch resolve exactly like the
+        single-query path and still cost zero extra actions on the happy
+        path (existence via the cached vocab / once-built Bloom; one batched
+        ``correct_terms`` job only when typos exist). Returns (query_id,
+        rank, doc_id, score) — collecting it runs one job: a single
+        bucket-pruned packed scan of the union of all terms, per-shard
+        per-query kernels, one window for the global per-query top-k.
+        Rank+score identical to calling ``search`` per query
+        (tests/test_batch.py)."""
         if not (self.use_packed and self.scorer == "bm25"):
             raise ValueError("search_many requires use_packed=True and bm25")
         from . import wand as _wand
@@ -421,29 +424,53 @@ class QueryExecutor:
         all_terms: list[str] = []
         for qid, text in queries.items():
             pq = Q.parse(text, tokenize=self._tokenize_query)
-            if pq.prf > 0 or not isinstance(pq.ast, Q.Keyword):
+            if pq.prf > 0 or not isinstance(
+                pq.ast, (Q.Keyword, Q.Phrase, Q.Mixed)
+            ):
                 raise ValueError(
-                    f"search_many handles keyword queries only; {text!r} "
-                    f"parsed to {type(pq.ast).__name__}"
+                    f"search_many handles ranked one-pass queries only "
+                    f"(keyword/phrase/mixed); {text!r} parsed to "
+                    f"{'PRF' if pq.prf else type(pq.ast).__name__}"
                 )
             parsed[qid] = pq
-            all_terms.extend(pq.ast.terms)
+            all_terms.extend(Q.collect_terms(pq.ast))
         exact_q = [t for t in all_terms if not t.endswith("*")]
         self._corrections = self._find_corrections(exact_q) if exact_q else {}
         self.last_corrections = dict(self._corrections)
-        term_sets: dict[str, list[str]] = {}
-        for qid, pq in parsed.items():
-            exact, prefixes, _ = self.resolve_terms(pq.ast.terms)
+
+        def _kw_terms(terms: list[str], text: str) -> list[str]:
+            exact, prefixes, _ = self.resolve_terms(terms)
             expanded = self._expand_prefixes(prefixes)
             if expanded is None:
                 raise ValueError(
-                    f"batch prefix term in {queries[qid]!r} is not "
+                    f"batch prefix term in {text!r} is not "
                     "dictionary-expandable (no cached vocab or explosive "
                     "prefix) — run it through search()"
                 )
-            term_sets[qid] = exact + expanded
-        return _wand.wand_topk_many(
-            self.spark, self.index, term_sets, k=k,
+            return exact + expanded
+
+        specs: dict[str, tuple[list[str], list[str]]] = {}
+        for qid, pq in parsed.items():
+            if isinstance(pq.ast, Q.Keyword):
+                specs[qid] = ([], _kw_terms(pq.ast.terms, queries[qid]))
+            elif isinstance(pq.ast, Q.Phrase):
+                ph, _, _ = self.resolve_terms(pq.ast.terms, dedupe=False)
+                specs[qid] = (ph, [])
+            else:  # Mixed
+                ph, _, _ = self.resolve_terms(pq.ast.phrase.terms, dedupe=False)
+                specs[qid] = (ph, _kw_terms(pq.ast.keyword.terms, queries[qid]))
+        if self.fielded_index is not None:
+            # the fielded invariant holds for batches too: a fielded
+            # executor never silently ranks unfielded — every query in the
+            # batch scores zone-weighted off the packed fielded index
+            from .fields import fielded_batch_topk
+
+            return fielded_batch_topk(
+                self.spark, self.fielded_index, specs, k=k,
+                n_term_buckets=self.n_buckets,
+            )
+        return _wand.batch_topk(
+            self.spark, self.index, specs, k=k,
             n_term_buckets=self.n_buckets,
         )
 

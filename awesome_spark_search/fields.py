@@ -572,3 +572,87 @@ def fielded_mixed_topk(
         _wand.RESULT_SCHEMA,
     )
     return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def _fielded_batch_shard_factory(
+    specs: dict[str, tuple[list[str], list[str]]], avgdl_by_field, k: int
+):
+    """applyInPandas: the UNION of all batch queries' (field, term) packed
+    rows in one doc_shard -> per-query zone-weighted local top-k. Each query
+    runs its single-query fielded kernel — keyword lists through
+    ``wand._wand_pass`` (per-row avgdl + w_f-folded idf), phrases through
+    ``_fielded_phrase_eval``, Mixed seeding WAND with the per-field phrase
+    survivors — over the ONE shared scan."""
+    from . import wand as _wand
+
+    ordered = [
+        (qid, list(ph), set(dict.fromkeys(kw)))
+        for qid, (ph, kw) in specs.items()
+    ]
+
+    def shard_batch(left: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+            {"query_id": "object", "doc_id": "int64", "score": "float64"}
+        )
+        if left.empty:
+            return empty
+        triples = [
+            (
+                r["term"],
+                (float(r["idf"]), np.asarray(r["block_max"], dtype=np.float64), r),
+            )
+            for _, r in left.iterrows()
+        ]
+        parts = []
+        for qid, ph, kwset in ordered:
+            if ph:
+                cand_ids, cand_scores = _fielded_phrase_eval(
+                    left, ph, avgdl_by_field
+                )
+                if not kwset and cand_ids.size == 0:
+                    continue
+            else:
+                cand_ids = np.zeros(0, dtype=np.int64)
+                cand_scores = np.zeros(0, dtype=np.float64)
+            kw_rows = [tr for t, tr in triples if t in kwset]
+            if kw_rows:
+                # avgdl arg unused: every fielded row carries its own avgdl
+                cand_ids, cand_scores = _wand._wand_pass(
+                    kw_rows, 1.0, k, cand_ids, cand_scores
+                )
+            elif kwset and cand_ids.size == 0:
+                continue
+            pdf = _wand._local_topk(cand_ids, cand_scores, k)
+            if len(pdf):
+                pdf.insert(0, "query_id", qid)
+                parts.append(pdf)
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    return shard_batch
+
+
+def fielded_batch_topk(
+    spark: SparkSession,
+    fidx: FieldedPackedIndex,
+    specs: dict[str, tuple[list[str], list[str]]],
+    k: int = 10,
+    n_term_buckets: int = DEFAULT_TERM_BUCKETS,
+) -> DataFrame:
+    """Batched ZONE-WEIGHTED top-k: the whole workload (keyword / phrase /
+    Mixed specs, same convention as ``wand.batch_topk``) in ONE Spark action
+    off the packed fielded index — so a fielded deployment batches without
+    giving up zone weighting (the executor invariant: a fielded executor
+    never silently ranks unfielded). Per-query results are rank+score
+    identical to fielded_wand_topk / fielded_phrase_topk / fielded_mixed_topk
+    (tests/test_batch.py)."""
+    from . import wand as _wand
+
+    all_terms = sorted({t for ph, kw in specs.values() for t in [*ph, *kw]})
+    if not all_terms:
+        return spark.createDataFrame([], _wand.BATCH_RESULT_SCHEMA)
+    packed = _fielded_rows_with_idf(fidx, all_terms, n_term_buckets)
+    local = packed.groupBy("doc_shard").applyInPandas(
+        _fielded_batch_shard_factory(specs, dict(fidx.avgdl_by_field), k),
+        _wand.BATCH_RESULT_SCHEMA,
+    )
+    return _wand._batch_global_topk(local, k)

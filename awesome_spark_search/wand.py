@@ -310,13 +310,21 @@ BATCH_RESULT_SCHEMA = T.StructType(
 )
 
 
-def _batch_shard_factory(term_sets: dict[str, list[str]], avgdl: float, k: int):
+def _batch_shard_factory(
+    specs: dict[str, tuple[list[str], list[str]]], avgdl: float, k: int
+):
     """applyInPandas: the UNION of all batch queries' packed rows in one
-    doc_shard -> per-query local top-k. Each query runs its own
-    ``_wand_pass`` (block skipping stays per-query exact); what is shared is
-    the expensive part — the single bucket-pruned scan, the shuffle, and the
+    doc_shard -> per-query local top-k. ``specs`` maps query_id ->
+    (phrase_terms, keyword_terms): keyword-only queries run their own
+    ``_wand_pass`` (block skipping stays per-query exact), phrase-only
+    queries run ``_phrase_eval``, Mixed queries seed WAND with the phrase
+    survivors — each exactly the single-query kernel. What is shared is the
+    expensive part: the single bucket-pruned scan, the shuffle, and the
     per-action fixed cost."""
-    ordered = [(qid, list(dict.fromkeys(ts))) for qid, ts in term_sets.items()]
+    ordered = [
+        (qid, list(ph), list(dict.fromkeys(kw)))
+        for qid, (ph, kw) in specs.items()
+    ]
 
     def shard_batch(left: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
@@ -324,23 +332,27 @@ def _batch_shard_factory(term_sets: dict[str, list[str]], avgdl: float, k: int):
         )
         if left.empty:
             return empty
-        rows = {
-            r["term"]: (
-                float(r["idf"]),
-                np.asarray(r["block_max"], dtype=np.float64),
-                r,
-            )
-            for _, r in left.iterrows()
+        rows = {r["term"]: r for _, r in left.iterrows()}
+        triples = {
+            t: (float(r["idf"]), np.asarray(r["block_max"], dtype=np.float64), r)
+            for t, r in rows.items()
         }
         parts = []
-        for qid, terms in ordered:
-            trs = [rows[t] for t in terms if t in rows]
-            if not trs:
-                continue
-            cand_ids, cand_scores = _wand_pass(
-                trs, avgdl, k,
-                np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64),
-            )
+        for qid, ph, kw in ordered:
+            if ph:
+                cand_ids, cand_scores = _phrase_eval(rows, ph, avgdl)
+                if not kw and cand_ids.size == 0:
+                    continue
+            else:
+                cand_ids = np.zeros(0, dtype=np.int64)
+                cand_scores = np.zeros(0, dtype=np.float64)
+            kw_rows = [triples[t] for t in kw if t in rows]
+            if kw_rows:
+                cand_ids, cand_scores = _wand_pass(
+                    kw_rows, avgdl, k, cand_ids, cand_scores
+                )
+            elif kw and cand_ids.size == 0:
+                continue  # keyword terms absent from this shard, no phrase seeds
             pdf = _local_topk(cand_ids, cand_scores, k)
             if len(pdf):
                 pdf.insert(0, "query_id", qid)
@@ -348,6 +360,51 @@ def _batch_shard_factory(term_sets: dict[str, list[str]], avgdl: float, k: int):
         return pd.concat(parts, ignore_index=True) if parts else empty
 
     return shard_batch
+
+
+def _batch_global_topk(local: DataFrame, k: int) -> DataFrame:
+    """Per-query global top-k over the shard-local batch rows: one window
+    (n_shards * k * n_queries tiny rows; Spark pushes a WindowGroupLimit
+    below the exchange so each partition pre-prunes to k)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+        .orderBy("query_id", "rank")
+    )
+
+
+def batch_topk(
+    spark: SparkSession,
+    index: Index,
+    specs: dict[str, tuple[list[str], list[str]]],
+    k: int = 10,
+    n_term_buckets: int = 64,
+) -> DataFrame:
+    """Batched top-k over MIXED query types in ONE Spark action: each
+    ``specs`` value is (phrase_terms, keyword_terms) — ([], kw) is a plain
+    keyword query, (ph, []) an exact phrase, (ph, kw) a Mixed query. One
+    bucket-pruned packed scan of the union of every query's terms, one
+    per-shard applyInPandas running each query's own kernel, one window for
+    the per-query global top-k. Per-query results are rank+score identical
+    to wand_topk / phrase_topk / mixed_topk (tests/test_batch.py)."""
+    assert index.packed is not None, "index built without packed postings"
+    all_terms = sorted(
+        {t for ph, kw in specs.values() for t in [*ph, *kw]}
+    )
+    if not all_terms:
+        return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
+    packed = _packed_with_idf(index, all_terms, n_term_buckets)
+    local = packed.groupBy("doc_shard").applyInPandas(
+        _batch_shard_factory(specs, index.stats.avgdl, k),
+        BATCH_RESULT_SCHEMA,
+    )
+    return _batch_global_topk(local, k)
 
 
 def wand_topk_many(
@@ -369,26 +426,11 @@ def wand_topk_many(
     WAND loops over the SAME scanned rows, and the global per-query top-k is
     a single window over n_shards * k * n_queries tiny local rows. Results
     are rank+score identical to per-query ``wand_topk`` (pinned by
-    tests/test_batch.py)."""
-    assert index.packed is not None, "index built without packed postings"
-    all_terms = sorted({t for ts in term_sets.values() for t in ts})
-    if not all_terms:
-        return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
-    from pyspark.sql.window import Window
-
-    packed = _packed_with_idf(index, all_terms, n_term_buckets)
-    local = packed.groupBy("doc_shard").applyInPandas(
-        _batch_shard_factory(term_sets, index.stats.avgdl, k),
-        BATCH_RESULT_SCHEMA,
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "doc_id", "score")
-        .orderBy("query_id", "rank")
+    tests/test_batch.py). Keyword-only sugar over ``batch_topk``, which also
+    carries phrase and Mixed queries in the same action."""
+    return batch_topk(
+        spark, index, {qid: ([], ts) for qid, ts in term_sets.items()},
+        k=k, n_term_buckets=n_term_buckets,
     )
 
 

@@ -51,9 +51,16 @@ def test_batch_matches_per_query_wand(spark, packed_index):
 
 
 def test_search_many_matches_search(spark, packed_index):
-    """Full pipeline parity, including a typo'd query (batched correction)
-    and a dictionary-expanded prefix query."""
-    batch = dict(BATCH, q5="mrege", q6="token*")
+    """Full pipeline parity for every batchable type: keyword bags, a typo'd
+    query (batched correction), a dictionary-expanded prefix query, an exact
+    phrase, and a Mixed query."""
+    batch = dict(
+        BATCH,
+        q5="mrege",
+        q6="token*",
+        q7='"merge sort buffer"',
+        q8='"merge sort" scan',
+    )
     ex = QueryExecutor(spark, packed_index, use_packed=True)
     got = ex.search_many(batch, k=10).collect()
     # the index is stemmed, so the correction target is the stemmed form —
@@ -94,12 +101,14 @@ def test_search_many_is_lazy_and_never_scans_long_postings(
     assert len(plan.collect()) > 0
 
 
-def test_search_many_rejects_non_keyword(spark, packed_index):
+def test_search_many_rejects_unbatchable_types(spark, packed_index):
     ex = QueryExecutor(spark, packed_index, use_packed=True)
-    with pytest.raises(ValueError, match="keyword queries only"):
-        ex.search_many({"p": '"merge sort"'})
-    with pytest.raises(ValueError, match="keyword queries only"):
-        ex.search_many({"b": "buffer AND merge"})
+    with pytest.raises(ValueError, match="one-pass queries only"):
+        ex.search_many({"b": "buffer AND merge"})  # unranked (recency)
+    with pytest.raises(ValueError, match="one-pass queries only"):
+        ex.search_many({"l": "LinkTo:42"})
+    with pytest.raises(ValueError, match="one-pass queries only"):
+        ex.search_many({"p": "buffer merge #3"})  # PRF is two-pass
     with pytest.raises(ValueError, match="use_packed"):
         QueryExecutor(spark, packed_index).search_many({"k": "buffer"})
 
@@ -110,3 +119,57 @@ def test_empty_batch_and_empty_terms(spark, packed_index):
     # stop-word-only query tokenizes to nothing -> contributes no rows
     out = ex.search_many({"q0": "buffer", "q1": "the of and"}, k=5).collect()
     assert {r["query_id"] for r in out} == {"q0"}
+
+
+def test_search_many_fielded_stays_zone_weighted(spark):
+    """The fielded invariant extends to batches: search_many on a fielded
+    executor ranks EVERY query zone-weighted (fields.fielded_batch_topk),
+    identical to per-query search() on the same executor — never a silent
+    unfielded fallback."""
+    from pyspark.sql import functions as F
+
+    from awesome_spark_search.fields import build_fielded_packed
+
+    def word(i):
+        return ["merge", "buffer", "sort", "alpha", "beta", "gamma", "delta"][i % 7]
+
+    rows = [
+        (
+            d,
+            " ".join(word(d + j) for j in range(1 + (d * 3) % 9)),
+            " ".join(word(d * 2 + j) for j in range(1 + d % 3)),
+        )
+        for d in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, body string, title string")
+    weights = {"body": 1.0, "title": 0.5}
+    fidx = build_fielded_packed(spark, df, weights, do_stem=False, doc_shard_size=8)
+    idx = build_index(
+        spark,
+        df.select("doc_id", F.concat_ws(" ", "body", "title").alias("content")),
+        do_stem=False, build_packed=True,
+    )
+    ex = QueryExecutor(spark, idx, use_packed=True, fielded_index=fidx)
+    batch = {
+        "kw": "merge buffer gamma",
+        "ph": '"merge buffer"',
+        "mx": '"merge buffer" delta',
+    }
+    got = ex.search_many(batch, k=10).collect()
+    by_qid: dict[str, list] = {}
+    for r in got:
+        by_qid.setdefault(r["query_id"], []).append(r)
+    for qid, q in batch.items():
+        want = ex.search(q, k=10).collect()
+        rows_q = by_qid.get(qid, [])
+        assert [r["doc_id"] for r in rows_q] == [w["doc_id"] for w in want], qid
+        for g, w in zip(rows_q, want):
+            assert abs(g["score"] - w["score"]) < 1e-9, qid
+    # and the batch really is zone-weighted: it must differ from the
+    # UNFIELDED batch over the concatenated-field index for some query
+    unfielded = QueryExecutor(spark, idx, use_packed=True).search_many(
+        batch, k=10
+    ).collect()
+    assert [(r["query_id"], r["doc_id"], r["score"]) for r in got] != [
+        (r["query_id"], r["doc_id"], r["score"]) for r in unfielded
+    ]

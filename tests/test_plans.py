@@ -81,6 +81,33 @@ def packed_ckpt_index(spark, tmp_path_factory):
     )
 
 
+def test_batch_plan_shape(spark, packed_ckpt_index):
+    """The batched multi-query plan must stay the single-action shape at any
+    batch size: broadcast idf join (never a shuffle join), term_bucket
+    partition pruning + pushed term filters on the ONE shared packed scan,
+    and exactly TWO shuffle exchanges regardless of how many queries ride
+    the batch — the per-shard applyInPandas repartition and the tiny
+    (n_shards * k * n_queries rows) window for the per-query global top-k."""
+    from awesome_spark_search.wand import wand_topk_many
+
+    df = wand_topk_many(
+        spark, packed_ckpt_index,
+        {"q0": ["buffer", "merge"], "q1": ["scan"], "q2": ["buffer", "scan"]},
+        k=5,
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "term_bucket" in m.group(1), plan[:2000]
+    pf = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pf and any("term" in x for x in pf), plan[:2000]
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan[:3000]
+    rows = df.collect()
+    assert {r["query_id"] for r in rows} == {"q0", "q1", "q2"}
+    assert all(r["score"] > 0 for r in rows)
+
+
 def test_wand_plan_single_action_shape(spark, packed_ckpt_index):
     """The packed WAND query must (a) broadcast the term-filtered idf side
     (no driver-side collect exists to check, but the join must be a
