@@ -57,6 +57,11 @@ def main(argv=None) -> int:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--scorer", choices=["bm25", "ql"], default="bm25")
     ap.add_argument("--wand", action="store_true", help="block-max WAND path")
+    ap.add_argument(
+        "--batch", action="store_true",
+        help="serve ALL queries in ONE Spark action (search_many over the "
+        "packed index; ranked one-pass types only - keyword/phrase/mixed)",
+    )
     ap.add_argument("--no-stem", action="store_true")
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args(argv)
@@ -65,7 +70,32 @@ def main(argv=None) -> int:
     idx = load_index(spark, args.index)
     idx.do_stem = not args.no_stem
     src = spark.read.parquet(args.source) if args.source else None
-    ex = QueryExecutor(spark, idx, source_df=src, scorer=args.scorer)
+    ex = QueryExecutor(
+        spark, idx, source_df=src, scorer=args.scorer,
+        use_packed=args.batch and idx.packed is not None,
+    )
+
+    if args.batch:
+        qmap = {f"q{i}": q for i, q in enumerate(args.queries)}
+        t0 = time.perf_counter()
+        rows = ex.search_many(qmap, k=args.k).collect()
+        wall = round((time.perf_counter() - t0) * 1000, 1)
+        by_qid: dict[str, list] = {}
+        for r in rows:
+            by_qid.setdefault(r["query_id"], []).append(r)
+        for i, q in enumerate(args.queries):
+            out = {
+                "query": q,
+                "k": args.k,
+                "batch_wall_ms": wall,  # ONE action served the whole batch
+                "corrections": ex.last_corrections,
+                "results": [
+                    {"doc_id": r["doc_id"], "score": r["score"]}
+                    for r in by_qid.get(f"q{i}", [])
+                ],
+            }
+            print(json.dumps(out))
+        return 0
 
     for q in args.queries:
         t0 = time.perf_counter()

@@ -74,6 +74,21 @@ def test_build_then_query_jobs(corpus_dir, tmp_path_factory):
         r["doc_id"] for r in lines[0]["results"]
     ]
 
+    # --batch: BOTH queries (a keyword bag + a phrase) in ONE Spark action
+    # off the on-disk packed index, result parity with the per-query lines
+    stdout5 = _run([
+        "jobs/query.py", "--index", out, "--source", corpus_dir, "--batch",
+        "buffer merge", '"merge sort buffer"',
+    ])
+    blines = [json.loads(l) for l in stdout5.strip().splitlines() if l.startswith("{")]
+    assert len(blines) == 2
+    for batch_l, per_q in zip(blines, lines):
+        assert [r["doc_id"] for r in batch_l["results"]] == [
+            r["doc_id"] for r in per_q["results"]
+        ]
+        for b, p in zip(batch_l["results"], per_q["results"]):
+            assert abs(b["score"] - p["score"]) < 1e-9
+
     # --- delta compaction deployment: split the corpus by doc parity, build
     # two half indexes, fold them with jobs/merge_index.py, and the merged
     # root must serve IDENTICAL results to the full index above through
