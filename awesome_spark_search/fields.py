@@ -649,7 +649,7 @@ def fielded_batch_topk(
 
     all_terms = sorted({t for ph, kw in specs.values() for t in [*ph, *kw]})
     if not all_terms:
-        return spark.createDataFrame([], _wand.BATCH_RESULT_SCHEMA)
+        return spark.createDataFrame([], _wand.BATCH_TOPK_SCHEMA)
     packed = _fielded_rows_with_idf(fidx, all_terms, n_term_buckets)
     local = packed.groupBy("doc_shard").applyInPandas(
         _fielded_batch_shard_factory(specs, dict(fidx.avgdl_by_field), k),

@@ -309,6 +309,18 @@ BATCH_RESULT_SCHEMA = T.StructType(
     ]
 )
 
+# the FINAL batch result shape (shard-local rows get a rank from the global
+# window); the empty-batch early return must match it so downstream selects
+# of 'rank' work on degenerate batches too
+BATCH_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.StringType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
 
 def _batch_shard_factory(
     specs: dict[str, tuple[list[str], list[str]]], avgdl: float, k: int
@@ -398,7 +410,7 @@ def batch_topk(
         {t for ph, kw in specs.values() for t in [*ph, *kw]}
     )
     if not all_terms:
-        return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
+        return spark.createDataFrame([], BATCH_TOPK_SCHEMA)
     packed = _packed_with_idf(index, all_terms, n_term_buckets)
     local = packed.groupBy("doc_shard").applyInPandas(
         _batch_shard_factory(specs, index.stats.avgdl, k),

@@ -144,8 +144,9 @@ def run(sf_dir: str, cpus: int, do_stem: bool = True) -> dict:
     # batched serving: a 16-query keyword workload in ONE Spark action
     # (search_many: one bucket-pruned packed scan of the union of all terms,
     # per-shard per-query WAND, one window) vs the same 16 queries run
-    # sequentially — the queries/sec lever at cluster scale. Sequential side
-    # runs once (16 actions average the host bursts); batch is best-of-2.
+    # sequentially — the queries/sec lever at cluster scale. BOTH sides are
+    # best-of-2 and the reps interleave (seq, batch, batch, seq) per the
+    # repo's steal-robust methodology, so neither side pockets a calm window.
     batch16 = {
         f"b{i}": q
         for i, q in enumerate(
@@ -159,11 +160,16 @@ def run(sf_dir: str, cpus: int, do_stem: bool = True) -> dict:
             ]
         )
     }
-    t0 = time.perf_counter()
-    for q in batch16.values():
-        ex.search(q, k=10).collect()
-    batch16_sequential = round(time.perf_counter() - t0, 4)
+    def _seq16() -> float:
+        t0 = time.perf_counter()
+        for q in batch16.values():
+            ex.search(q, k=10).collect()
+        return time.perf_counter() - t0
+
+    seq_samples = [_seq16()]
     timed("q_batch16", lambda: ex.search_many(batch16, k=10).collect())
+    seq_samples.append(_seq16())
+    batch16_sequential = round(min(seq_samples), 4)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
         "doc_id", F.col("doc_id").cast("long")

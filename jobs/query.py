@@ -5,8 +5,11 @@ Usage:
         --index /path/to/index_root --source /path/to/source_table \
         [--k 10] [--scorer bm25|ql] [--wand] "query one" '"a phrase"' ...
 
-Prints one JSON line per query: {"query", "k", "wall_ms", "results":
-[{"doc_id", "score"}, ...]}.
+Prints one JSON line per query: {"query", "k", "wall_ms", "corrections",
+"results": [{"doc_id", "score"}, ...]}. With --batch, every query serves in
+ONE Spark action (search_many) and each line carries the shared
+"batch_wall_ms" instead of a per-query "wall_ms"; "corrections" stays
+per-query (the batch map filtered to that query's tokens).
 """
 
 from __future__ import annotations
@@ -66,13 +69,22 @@ def main(argv=None) -> int:
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args(argv)
 
+    if args.batch and args.scorer != "bm25":
+        ap.error("--batch serves the BM25 scorer only")
+
     spark = SparkSession.builder.appName("ass-query").getOrCreate()
     idx = load_index(spark, args.index)
     idx.do_stem = not args.no_stem
     src = spark.read.parquet(args.source) if args.source else None
+    if args.batch and idx.packed is None:
+        print(
+            f"error: --batch needs packed postings, but the index at "
+            f"{args.index!r} was built without them (no stages/packed)",
+            file=sys.stderr,
+        )
+        return 2
     ex = QueryExecutor(
-        spark, idx, source_df=src, scorer=args.scorer,
-        use_packed=args.batch and idx.packed is not None,
+        spark, idx, source_df=src, scorer=args.scorer, use_packed=args.batch,
     )
 
     if args.batch:
@@ -84,11 +96,16 @@ def main(argv=None) -> int:
         for r in rows:
             by_qid.setdefault(r["query_id"], []).append(r)
         for i, q in enumerate(args.queries):
+            # corrections restricted to THIS query's tokens (the batch map
+            # covers every query; per-line output mirrors single-query mode)
+            q_terms = set(ex._tokenize_query(q))
             out = {
                 "query": q,
                 "k": args.k,
                 "batch_wall_ms": wall,  # ONE action served the whole batch
-                "corrections": ex.last_corrections,
+                "corrections": {
+                    t: c for t, c in ex.last_corrections.items() if t in q_terms
+                },
                 "results": [
                     {"doc_id": r["doc_id"], "score": r["score"]}
                     for r in by_qid.get(f"q{i}", [])

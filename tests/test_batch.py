@@ -115,7 +115,11 @@ def test_search_many_rejects_unbatchable_types(spark, packed_index):
 
 def test_empty_batch_and_empty_terms(spark, packed_index):
     ex = QueryExecutor(spark, packed_index, use_packed=True)
-    assert ex.search_many({}, k=5).collect() == []
+    empty = ex.search_many({}, k=5)
+    # degenerate batches keep the full 4-column result shape — a downstream
+    # select of 'rank' must not break only when the batch happens to be empty
+    assert empty.columns == ["query_id", "rank", "doc_id", "score"]
+    assert empty.select("query_id", "rank", "doc_id", "score").collect() == []
     # stop-word-only query tokenizes to nothing -> contributes no rows
     out = ex.search_many({"q0": "buffer", "q1": "the of and"}, k=5).collect()
     assert {r["query_id"] for r in out} == {"q0"}
