@@ -415,21 +415,25 @@ class QueryExecutor:
         bucket-pruned packed scan of the union of all terms, per-shard
         per-query kernels, one window for the global per-query top-k.
         Rank+score identical to calling ``search`` per query
-        (tests/test_batch.py)."""
-        if not (self.use_packed and self.scorer == "bm25"):
-            raise ValueError("search_many requires use_packed=True and bm25")
+        (tests/test_batch.py). Under ``scorer="ql"`` the batch serves
+        keyword bags through ``wand.ql_topk_many`` (QL has no phrase/Mixed
+        form — same as the single-query executor)."""
+        if not self.use_packed or self.scorer not in ("bm25", "ql"):
+            raise ValueError("search_many requires use_packed=True and bm25|ql")
         from . import wand as _wand
 
+        batchable = (
+            (Q.Keyword,) if self.scorer == "ql" else (Q.Keyword, Q.Phrase, Q.Mixed)
+        )
         parsed: dict[str, Q.ParsedQuery] = {}
         all_terms: list[str] = []
         for qid, text in queries.items():
             pq = Q.parse(text, tokenize=self._tokenize_query)
-            if pq.prf > 0 or not isinstance(
-                pq.ast, (Q.Keyword, Q.Phrase, Q.Mixed)
-            ):
+            if pq.prf > 0 or not isinstance(pq.ast, batchable):
                 raise ValueError(
                     f"search_many handles ranked one-pass queries only "
-                    f"(keyword/phrase/mixed); {text!r} parsed to "
+                    f"(keyword/phrase/mixed; keyword only under ql); "
+                    f"{text!r} parsed to "
                     f"{'PRF' if pq.prf else type(pq.ast).__name__}"
                 )
             parsed[qid] = pq
@@ -459,6 +463,12 @@ class QueryExecutor:
             else:  # Mixed
                 ph, _, _ = self.resolve_terms(pq.ast.phrase.terms, dedupe=False)
                 specs[qid] = (ph, _kw_terms(pq.ast.keyword.terms, queries[qid]))
+        if self.scorer == "ql":
+            return _wand.ql_topk_many(
+                self.spark, self.index,
+                {qid: kw for qid, (_, kw) in specs.items()}, k=k,
+                n_term_buckets=self.n_buckets,
+            )
         if self.fielded_index is not None:
             # the fielded invariant holds for batches too: a fielded
             # executor never silently ranks unfielded — every query in the

@@ -518,6 +518,93 @@ def ql_topk(
     return local.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
+def _ql_batch_shard_factory(
+    term_sets: dict[str, list[str]], lam: float, total_tokens: int, k: int
+):
+    """applyInPandas: batched QL/JM over one doc_shard. Unlike the WAND
+    batch (where block skipping is per-query), QL always decodes a term's
+    full lists — so the decode is done ONCE per term and SHARED by every
+    query in the batch that uses it (exact: contributions are per-(term,
+    doc) values independent of the query mix)."""
+    C = float(max(total_tokens, 1))
+    ordered = [(qid, list(dict.fromkeys(ts))) for qid, ts in term_sets.items()]
+
+    def shard_ql(left: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+            {"query_id": "object", "doc_id": "int64", "score": "float64"}
+        )
+        if left.empty:
+            return empty
+        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for _, r in left.iterrows():
+            ids = codec.delta_vbyte_decode_blocked(bytes(r["doc_ids_vb"]))
+            tfs = codec.vbyte_decode(bytes(r["tfs_vb"])).astype(np.float64)
+            dls = codec.vbyte_decode(bytes(r["dls_vb"])).astype(np.float64)
+            DECODE_STATS["postings"] += ids.size
+            contrib = np.log(
+                (1.0 - lam) * tfs / np.maximum(dls, 1.0)
+                + lam * float(r["cf_global"]) / C
+            )
+            decoded[r["term"]] = (ids, contrib)
+        parts = []
+        for qid, terms in ordered:
+            cand_ids = np.zeros(0, dtype=np.int64)
+            cand_scores = np.zeros(0, dtype=np.float64)
+            for t in terms:
+                if t in decoded:
+                    ids, contrib = decoded[t]
+                    cand_ids, cand_scores = _merge_scores(
+                        cand_ids, cand_scores, ids, contrib
+                    )
+            pdf = _local_topk(cand_ids, cand_scores, k)
+            if len(pdf):
+                pdf.insert(0, "query_id", qid)
+                parts.append(pdf)
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    return shard_ql
+
+
+def ql_topk_many(
+    spark: SparkSession,
+    index: Index,
+    term_sets: dict[str, list[str]],
+    k: int = 10,
+    n_term_buckets: int = 64,
+    lam: float | None = None,
+) -> DataFrame:
+    """Batched QL/JM keyword top-k in ONE Spark action — the ``ql_topk``
+    shape (bucket-pruned packed scan, broadcast global cf, per-shard decode)
+    shared by the whole batch, with each term's lists decoded once per shard
+    regardless of how many queries use it. Per-query rank+score identical to
+    ``ql_topk`` (tests/test_batch.py)."""
+    from .scoring import JM_LAMBDA
+
+    assert index.packed is not None, "index built without packed postings"
+    all_terms = sorted({t for ts in term_sets.values() for t in ts})
+    if not all_terms:
+        return spark.createDataFrame([], BATCH_TOPK_SCHEMA)
+    if lam is None:
+        lam = JM_LAMBDA
+    st = index.stats
+    buckets = sorted({_py_term_bucket(t, n_term_buckets) for t in all_terms})
+    ts = (
+        index.term_stats.filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(all_terms))
+        .select("term", F.col("cf").alias("cf_global"))
+    )
+    packed = (
+        index.packed.filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(ts), "term")
+    )
+    local = packed.groupBy("doc_shard").applyInPandas(
+        _ql_batch_shard_factory(term_sets, lam, st.total_tokens, k),
+        BATCH_RESULT_SCHEMA,
+    )
+    return _batch_global_topk(local, k)
+
+
 def mixed_topk(
     spark: SparkSession,
     index: Index,

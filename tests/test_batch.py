@@ -177,3 +177,23 @@ def test_search_many_fielded_stays_zone_weighted(spark):
     assert [(r["query_id"], r["doc_id"], r["score"]) for r in got] != [
         (r["query_id"], r["doc_id"], r["score"]) for r in unfielded
     ]
+
+
+def test_search_many_ql_matches_search(spark, packed_index):
+    """Batched QL/JM (keyword-only, shared per-term decode across the batch)
+    must be rank+score identical to per-query search() under scorer='ql'."""
+    batch = {k: v for k, v in BATCH.items() if k != "q4"}
+    ex = QueryExecutor(spark, packed_index, scorer="ql", use_packed=True)
+    got = ex.search_many(batch, k=10).collect()
+    by_qid: dict[str, list] = {}
+    for r in got:
+        by_qid.setdefault(r["query_id"], []).append(r)
+    for qid, q in batch.items():
+        want = ex.search(q, k=10).collect()
+        rows = by_qid.get(qid, [])
+        assert [r["doc_id"] for r in rows] == [w["doc_id"] for w in want], qid
+        for g, w in zip(rows, want):
+            assert abs(g["score"] - w["score"]) < 1e-9, qid
+    # phrase/Mixed are not a QL form (same as the single-query executor)
+    with pytest.raises(ValueError, match="keyword only under ql"):
+        ex.search_many({"p": '"merge sort"'})
