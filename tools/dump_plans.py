@@ -22,7 +22,12 @@ def main() -> int:
     from awesome_spark_search.build import build_index
     from awesome_spark_search.executor import QueryExecutor
     from awesome_spark_search.session import get_spark
-    from awesome_spark_search.wand import mixed_topk, wand_topk, wand_topk_many
+    from awesome_spark_search.wand import (
+        mixed_topk,
+        ql_topk_many,
+        wand_topk,
+        wand_topk_many,
+    )
 
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "PLANS.md")
     spark = get_spark("plans", cores=4, shuffle_partitions=8)
@@ -70,6 +75,16 @@ def main() -> int:
              spark, idx,
              {"q0": ["buffer", "merge"], "q1": ["scan"],
               "q2": ["buffer", "scan"]},
+             k=10,
+         )),
+        ("Batched QL/JM (keyword bags, shared per-term decode)",
+         "Same two-exchange batch shape under the QL scorer: broadcast of "
+         "the term-filtered GLOBAL cf rows, per-shard decode shared by every "
+         "query that uses a term (exact for QL - nothing skips), window "
+         "top-k.",
+         ql_topk_many(
+             spark, idx,
+             {"q0": ["buffer", "merge"], "q1": ["scan", "buffer"]},
              k=10,
          )),
         ("Mixed phrase+keyword over the packed index (one per-shard pass)",
