@@ -591,11 +591,8 @@ def _fielded_batch_shard_factory(
     ]
 
     def shard_batch(left: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
-            {"query_id": "object", "doc_id": "int64", "score": "float64"}
-        )
         if left.empty:
-            return empty
+            return _wand._empty_batch_pdf()
         triples = [
             (
                 r["term"],
@@ -626,7 +623,7 @@ def _fielded_batch_shard_factory(
             if len(pdf):
                 pdf.insert(0, "query_id", qid)
                 parts.append(pdf)
-        return pd.concat(parts, ignore_index=True) if parts else empty
+        return pd.concat(parts, ignore_index=True) if parts else _wand._empty_batch_pdf()
 
     return shard_batch
 

@@ -339,11 +339,8 @@ def _batch_shard_factory(
     ]
 
     def shard_batch(left: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
-            {"query_id": "object", "doc_id": "int64", "score": "float64"}
-        )
         if left.empty:
-            return empty
+            return _empty_batch_pdf()
         rows = {r["term"]: r for _, r in left.iterrows()}
         triples = {
             t: (float(r["idf"]), np.asarray(r["block_max"], dtype=np.float64), r)
@@ -369,7 +366,7 @@ def _batch_shard_factory(
             if len(pdf):
                 pdf.insert(0, "query_id", qid)
                 parts.append(pdf)
-        return pd.concat(parts, ignore_index=True) if parts else empty
+        return pd.concat(parts, ignore_index=True) if parts else _empty_batch_pdf()
 
     return shard_batch
 
@@ -446,6 +443,49 @@ def wand_topk_many(
     )
 
 
+def _ql_decode_row(r, lam: float, C: float) -> tuple[np.ndarray, np.ndarray]:
+    """One packed row -> (doc_ids, per-doc QL/JM contributions). THE
+    single-vs-batched exactness contract: both shard factories score through
+    this one expression (ref formula: DocumentRanker.java:33 —
+    log((1-l)*tf/dl + l*cf/C), dl floored at 1)."""
+    ids = codec.delta_vbyte_decode_blocked(bytes(r["doc_ids_vb"]))
+    tfs = codec.vbyte_decode(bytes(r["tfs_vb"])).astype(np.float64)
+    dls = codec.vbyte_decode(bytes(r["dls_vb"])).astype(np.float64)
+    DECODE_STATS["postings"] += ids.size
+    contrib = np.log(
+        (1.0 - lam) * tfs / np.maximum(dls, 1.0)
+        + lam * float(r["cf_global"]) / C
+    )
+    return ids, contrib
+
+
+def _packed_with_cf(
+    index: Index, terms: list[str], n_term_buckets: int
+) -> DataFrame:
+    """Bucket-pruned packed rows of ``terms`` with the broadcast-joined
+    GLOBAL collection frequency (aliased cf_global: packed group rows carry
+    a per-(term, doc_shard) cf; the JM background model needs the term's
+    corpus-wide cf). The QL analog of ``_packed_with_idf``, shared by the
+    single-query and batched plans."""
+    buckets = sorted({_py_term_bucket(t, n_term_buckets) for t in terms})
+    ts = (
+        index.term_stats.filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .select("term", F.col("cf").alias("cf_global"))
+    )
+    return (
+        index.packed.filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .join(F.broadcast(ts), "term")
+    )
+
+
+def _empty_batch_pdf() -> pd.DataFrame:
+    return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+        {"query_id": "object", "doc_id": "int64", "score": "float64"}
+    )
+
+
 def _ql_shard_factory(lam: float, total_tokens: int, k: int):
     """applyInPandas: packed rows of one doc_shard -> local QL/JM top-k.
     No block skipping: QL contributions are negative log-mixtures, so there
@@ -460,14 +500,7 @@ def _ql_shard_factory(lam: float, total_tokens: int, k: int):
         cand_ids = np.zeros(0, dtype=np.int64)
         cand_scores = np.zeros(0, dtype=np.float64)
         for _, r in left.iterrows():
-            ids = codec.delta_vbyte_decode_blocked(bytes(r["doc_ids_vb"]))
-            tfs = codec.vbyte_decode(bytes(r["tfs_vb"])).astype(np.float64)
-            dls = codec.vbyte_decode(bytes(r["dls_vb"])).astype(np.float64)
-            DECODE_STATS["postings"] += ids.size
-            contrib = np.log(
-                (1.0 - lam) * tfs / np.maximum(dls, 1.0)
-                + lam * float(r["cf_global"]) / C
-            )
+            ids, contrib = _ql_decode_row(r, lam, C)
             cand_ids, cand_scores = _merge_scores(
                 cand_ids, cand_scores, ids, contrib
             )
@@ -499,19 +532,7 @@ def ql_topk(
     if lam is None:
         lam = JM_LAMBDA
     st = index.stats
-    buckets = sorted({_py_term_bucket(t, n_term_buckets) for t in terms})
-    # aliased: packed group rows already carry a per-(term, doc_shard) cf;
-    # the JM background model needs the term's GLOBAL collection frequency
-    ts = (
-        index.term_stats.filter(F.col("term_bucket").isin(buckets))
-        .filter(F.col("term").isin(terms))
-        .select("term", F.col("cf").alias("cf_global"))
-    )
-    packed = (
-        index.packed.filter(F.col("term_bucket").isin(buckets))
-        .filter(F.col("term").isin(terms))
-        .join(F.broadcast(ts), "term")
-    )
+    packed = _packed_with_cf(index, terms, n_term_buckets)
     local = packed.groupBy("doc_shard").applyInPandas(
         _ql_shard_factory(lam, st.total_tokens, k), RESULT_SCHEMA
     )
@@ -530,22 +551,11 @@ def _ql_batch_shard_factory(
     ordered = [(qid, list(dict.fromkeys(ts))) for qid, ts in term_sets.items()]
 
     def shard_ql(left: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
-            {"query_id": "object", "doc_id": "int64", "score": "float64"}
-        )
         if left.empty:
-            return empty
+            return _empty_batch_pdf()
         decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for _, r in left.iterrows():
-            ids = codec.delta_vbyte_decode_blocked(bytes(r["doc_ids_vb"]))
-            tfs = codec.vbyte_decode(bytes(r["tfs_vb"])).astype(np.float64)
-            dls = codec.vbyte_decode(bytes(r["dls_vb"])).astype(np.float64)
-            DECODE_STATS["postings"] += ids.size
-            contrib = np.log(
-                (1.0 - lam) * tfs / np.maximum(dls, 1.0)
-                + lam * float(r["cf_global"]) / C
-            )
-            decoded[r["term"]] = (ids, contrib)
+            decoded[r["term"]] = _ql_decode_row(r, lam, C)
         parts = []
         for qid, terms in ordered:
             cand_ids = np.zeros(0, dtype=np.int64)
@@ -560,7 +570,7 @@ def _ql_batch_shard_factory(
             if len(pdf):
                 pdf.insert(0, "query_id", qid)
                 parts.append(pdf)
-        return pd.concat(parts, ignore_index=True) if parts else empty
+        return pd.concat(parts, ignore_index=True) if parts else _empty_batch_pdf()
 
     return shard_ql
 
@@ -587,17 +597,7 @@ def ql_topk_many(
     if lam is None:
         lam = JM_LAMBDA
     st = index.stats
-    buckets = sorted({_py_term_bucket(t, n_term_buckets) for t in all_terms})
-    ts = (
-        index.term_stats.filter(F.col("term_bucket").isin(buckets))
-        .filter(F.col("term").isin(all_terms))
-        .select("term", F.col("cf").alias("cf_global"))
-    )
-    packed = (
-        index.packed.filter(F.col("term_bucket").isin(buckets))
-        .filter(F.col("term").isin(all_terms))
-        .join(F.broadcast(ts), "term")
-    )
+    packed = _packed_with_cf(index, all_terms, n_term_buckets)
     local = packed.groupBy("doc_shard").applyInPandas(
         _ql_batch_shard_factory(term_sets, lam, st.total_tokens, k),
         BATCH_RESULT_SCHEMA,

@@ -181,8 +181,10 @@ def test_search_many_fielded_stays_zone_weighted(spark):
 
 def test_search_many_ql_matches_search(spark, packed_index):
     """Batched QL/JM (keyword-only, shared per-term decode across the batch)
-    must be rank+score identical to per-query search() under scorer='ql'."""
-    batch = {k: v for k, v in BATCH.items() if k != "q4"}
+    must be rank+score identical to per-query search() under scorer='ql' —
+    including the no-hit query, a typo'd query (batched correction), and a
+    dictionary-expanded prefix, the same coverage as the bm25 batch test."""
+    batch = dict(BATCH, q5="mrege", q6="token*")
     ex = QueryExecutor(spark, packed_index, scorer="ql", use_packed=True)
     got = ex.search_many(batch, k=10).collect()
     by_qid: dict[str, list] = {}
